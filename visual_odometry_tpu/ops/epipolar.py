@@ -1,0 +1,157 @@
+"""Two-view epipolar initialization (8-point algorithm), batched + masked.
+
+TPU-native re-design of ``/root/reference/src/epipolar_utils.cpp``:
+
+  * ``estimate_fundamental`` (epipolar_utils.cpp:103-144): [-1,1] coordinate
+    normalization, Nx9 design matrix, null-space extraction, rank-2
+    projection, de-normalization. The reference takes the smallest right
+    singular vector of A via thin SVD; we take the smallest eigenvector of
+    the 9x9 normal matrix AᵀA (same subspace, pad-row-invariant: zero rows
+    from masked correspondences contribute nothing to AᵀA) — this keeps the
+    decomposition a fixed tiny 9x9 ``eigh`` regardless of correspondence
+    count, which is what XLA wants.
+  * ``essential2transformPair`` (epipolar_utils.cpp:146-174): SVD of E,
+    R = V·W·Uᵀ. The reference re-runs the SVD on -E when det(R) < 0; that
+    fix-up is algebraically identical to flipping the sign of both candidate
+    rotations, so we apply the sign branchlessly.
+  * ``estimate_transform`` (epipolar_utils.cpp:176-213): builds the 4
+    candidate transforms (2 rotations x ±t) and picks the one with the most
+    in-front triangulations (cheirality vote). The reference triangulates the
+    4 candidates serially; we vmap the triangulation over a stacked (4, ...)
+    candidate axis. Tie-breaking matches the reference's strict
+    ``n_test > n_in_front`` scan (first argmax; identity if all votes are 0).
+
+Returns the pose of camera 1 expressed in camera 2's frame, with arbitrary
+translation scale (monocular; SURVEY.md §6 gotcha 3).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import se3, triangulation
+
+Array = jnp.ndarray
+
+
+def normalize_points(points: Array, mask: Array) -> Tuple[Array, Array]:
+    """Scale pixel coords into [-1, 1] per axis; returns (normalized, T).
+
+    Mirrors ``normalize`` (epipolar_utils.cpp:48-65): the max is taken over
+    *all* (valid) points of the frame starting from 0, and
+    ``T = [[2/max_x, 0, -1], [0, 2/max_y, -1], [0, 0, 1]]`` maps originals to
+    normalized coords. Masked slots are excluded from the max.
+    """
+    masked = jnp.where(mask[..., None], points, 0.0)
+    maxs = jnp.max(masked, axis=-2)  # (..., 2); reference starts max at 0
+    half = maxs / 2.0
+    safe_half = jnp.where(half == 0.0, 1.0, half)
+    normalized = points / safe_half[..., None, :] - 1.0
+    t = jnp.array([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0], [0.0, 0.0, 1.0]], points.dtype)
+    t = t.at[0, 0].set(1.0 / safe_half[..., 0]).at[1, 1].set(1.0 / safe_half[..., 1])
+    return normalized, t
+
+
+def estimate_fundamental(
+    idx1: Array,
+    idx2: Array,
+    corr_valid: Array,
+    p1_img: Array,
+    p2_img: Array,
+    mask1: Array,
+    mask2: Array,
+) -> Array:
+    """8-point fundamental-matrix estimate with masked correspondences.
+
+    Mirrors epipolar_utils.cpp:103-144. The design row for a pair (d1, d2)
+    in homogeneous normalized coords is vec(d1 d2ᵀ) in row-major order
+    (epipolar_utils.cpp:121-125); invalid correspondences contribute a zero
+    row, which leaves AᵀA unchanged.
+    """
+    p1n, t1 = normalize_points(p1_img, mask1)
+    p2n, t2 = normalize_points(p2_img, mask2)
+
+    ones = jnp.ones(idx1.shape + (1,), p1_img.dtype)
+    d1 = jnp.concatenate([p1n[idx1], ones], -1)  # (N, 3)
+    d2 = jnp.concatenate([p2n[idx2], ones], -1)  # (N, 3)
+    rows = (d1[..., :, None] * d2[..., None, :]).reshape(idx1.shape + (9,))
+    rows = jnp.where(corr_valid[..., None], rows, 0.0)
+
+    ata = rows.T @ rows  # (9, 9) normal matrix — one small MXU matmul
+    _, vecs = jnp.linalg.eigh(ata)
+    f_approx = vecs[:, 0].reshape(3, 3)
+
+    # Re-impose rank 2 (epipolar_utils.cpp:133-141).
+    u, s, vt = jnp.linalg.svd(f_approx, full_matrices=True)
+    f = (u * s.at[2].set(0.0)) @ vt
+
+    # Undo normalization: T1ᵀ F T2 (epipolar_utils.cpp:143).
+    return t1.T @ f @ t2
+
+
+def essential_to_transform_pair(e: Array) -> Tuple[Array, Array, Array, Array]:
+    """E -> two candidate rotations and translations.
+
+    Mirrors ``essential2transformPair`` (epipolar_utils.cpp:146-174):
+    ``R1 = V W Uᵀ``, ``R2 = V Wᵀ Uᵀ``, translation read off the skew matrix
+    ``R E``. The det(R)<0 fix-up (recompute the SVD of -E,
+    epipolar_utils.cpp:154-159) flips the sign of exactly one of U/V and so
+    of both rotations; we apply ``sign(det)`` directly.
+    """
+    w = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], e.dtype)
+    u, _, vt = jnp.linalg.svd(e, full_matrices=True)
+    v = vt.T
+    r1 = v @ w @ u.T
+    sign = jnp.sign(jnp.linalg.det(r1))
+    sign = jnp.where(sign == 0.0, 1.0, sign)
+    r1 = sign * r1
+    r2 = sign * (v @ w.T @ u.T)
+
+    def unskew(m: Array) -> Array:
+        return jnp.stack([m[2, 1], m[0, 2], m[1, 0]])
+
+    t1 = unskew(r1 @ e)
+    t2 = unskew(r2 @ e)
+    return r1, t1, r2, t2
+
+
+def estimate_transform(
+    camera_matrix: Array,
+    idx1: Array,
+    idx2: Array,
+    corr_valid: Array,
+    p1_img: Array,
+    p2_img: Array,
+    mask1: Array,
+    mask2: Array,
+) -> Array:
+    """Full two-view initializer: F -> E -> 4 candidates -> cheirality vote.
+
+    Mirrors ``estimate_transform`` (epipolar_utils.cpp:176-213). Returns the
+    (4, 4) pose of camera 1 in camera 2's frame (identity if no candidate
+    triangulates any point in front of both cameras, matching the reference's
+    ``X_best`` initialization at epipolar_utils.cpp:183).
+    """
+    f = estimate_fundamental(idx1, idx2, corr_valid, p1_img, p2_img, mask1, mask2)
+    e = camera_matrix.T @ f @ camera_matrix  # epipolar_utils.cpp:180
+    r1, t1, r2, t2 = essential_to_transform_pair(e)
+
+    # Candidate order matches the reference's test sequence
+    # (epipolar_utils.cpp:187-211): X1, X1 with -t, X2, X2 with -t.
+    rs = jnp.stack([r1, r1, r2, r2])
+    ts = jnp.stack([t1, -t1, t2, -t2])
+    candidates = se3.pose_from_rt(rs, ts)  # (4, 4, 4)
+
+    def count_in_front(x: Array) -> Array:
+        _, ok = triangulation.triangulate_correspondences(
+            camera_matrix, x, idx1, idx2, corr_valid, p1_img, p2_img
+        )
+        return jnp.sum(ok.astype(jnp.int32))
+
+    votes = jax.vmap(count_in_front)(candidates)  # (4,)
+    best = jnp.argmax(votes)  # first max == reference's strict-> scan
+    x_best = candidates[best]
+    return jnp.where(votes[best] > 0, x_best, jnp.eye(4, dtype=x_best.dtype))

@@ -1,0 +1,109 @@
+"""Appearance-based data association as a dense batched top-1 matcher.
+
+TPU-native replacement for the reference's PCA-split kd-tree stack
+(``/root/reference/include/eigen_kdtree.h``, ``brute_force_search.h``,
+``split.h``, ``eigen_covariance.h``) and the per-frame glue
+``compute_correspondences_images`` (``/root/reference/src/apps/vo_complete.cpp:12-49``).
+
+A pointer-chasing kd-tree is the wrong shape for a TPU; per SURVEY.md §2
+(native ledger item 4) we instead compute the full pairwise squared-distance
+matrix with the gram trick — ``||a-b||² = ||a||² + ||b||² - 2 a·bᵀ`` — whose
+inner product is one MXU matmul, then take a masked argmin. This is *exact*:
+``TreeNode_::bestMatchFull`` (eigen_kdtree.h:90-115) prunes only subtrees
+that provably cannot contain a within-radius point, so its answer equals the
+brute-force nearest neighbour within the radius
+(``bruteForceBestMatch``, brute_force_search.h:22-41).
+
+Semantics preserved exactly:
+  * the id component is excluded from the metric — here ids are array
+    indices, so appearances are matched directly (README.md:11);
+  * a match requires squared distance STRICTLY below radius²
+    (brute_force_search.h:31-37: ``best_squared_norm = norm*norm`` with
+    strict ``<``); the reference radius is 0.1 (vo_complete.cpp:38);
+  * the kd-tree is built over whichever frame has MORE points and queried
+    from the smaller one, with output pairs fixed up to stay
+    (frame-1 idx, frame-2 idx) and emitted in query order
+    (vo_complete.cpp:15-46; SURVEY.md §6 gotcha 5).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+_BIG = jnp.float32(3.4e38)
+
+
+class Correspondences(NamedTuple):
+    """Fixed-size correspondence set, ordered by query index.
+
+    ``idx1[s]``/``idx2[s]`` index into frame 1 / frame 2 point arrays; slot
+    ``s`` is live iff ``valid[s]``. The slot order matches the reference's
+    push_back order (query-index order, vo_complete.cpp:37-46), which
+    downstream scatter/first-wins logic relies on.
+    """
+
+    idx1: Array   # (S,) int32
+    idx2: Array   # (S,) int32
+    valid: Array  # (S,) bool
+
+
+def pairwise_sq_dists(a: Array, b: Array) -> Array:
+    """(N, D), (M, D) -> (N, M) squared euclidean distances via the gram trick."""
+    a2 = jnp.sum(a * a, -1)
+    b2 = jnp.sum(b * b, -1)
+    gram = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    d = a2[:, None] + b2[None, :] - 2.0 * gram
+    return jnp.maximum(d, 0.0)
+
+
+def match_appearances(
+    app1: Array,
+    mask1: Array,
+    app2: Array,
+    mask2: Array,
+    radius: float = 0.1,
+) -> Correspondences:
+    """Frame-to-frame data association; returns (frame-1 idx, frame-2 idx) pairs.
+
+    Args:
+      app1: (N1, D) appearance descriptors of frame 1 (padded).
+      mask1: (N1,) validity of frame-1 slots.
+      app2/mask2: same for frame 2.
+      radius: match radius in appearance space (reference: 0.1).
+
+    The output has S = N2 slots ordered by query index. Which side queries
+    depends on the *valid counts* (smaller side queries, ties -> frame 1 is
+    the kd side, matching std::minmax at vo_complete.cpp:15-33); both
+    variants are computed branchlessly from the same distance matrix and
+    selected with ``where`` — the distance matrix is the entire cost anyway.
+    """
+    if app1.shape[0] != app2.shape[0]:
+        raise ValueError("padded frames must share a slot count for static shapes")
+    n = app1.shape[0]
+    d = pairwise_sq_dists(app1, app2)  # (N1, N2): rows frame 1, cols frame 2
+    d = jnp.where(mask1[:, None] & mask2[None, :], d, _BIG)
+
+    r2 = jnp.asarray(radius, d.dtype) ** 2
+    slots = jnp.arange(n, dtype=jnp.int32)
+
+    n1 = jnp.sum(mask1.astype(jnp.int32))
+    n2 = jnp.sum(mask2.astype(jnp.int32))
+    kd_is_1 = n1 >= n2  # frame 1 has >= points -> tree over frame 1
+
+    # Variant A: kd = frame 1, query = frame 2 (one slot per frame-2 point).
+    best1 = jnp.argmin(d, axis=0).astype(jnp.int32)  # (N2,)
+    best1_d = jnp.min(d, axis=0)
+    # Variant B: kd = frame 2, query = frame 1 (one slot per frame-1 point).
+    best2 = jnp.argmin(d, axis=1).astype(jnp.int32)  # (N1,)
+    best2_d = jnp.min(d, axis=1)
+
+    idx1 = jnp.where(kd_is_1, best1, slots)
+    idx2 = jnp.where(kd_is_1, slots, best2)
+    best_d = jnp.where(kd_is_1, best1_d, best2_d)
+    query_mask = jnp.where(kd_is_1, mask2, mask1)
+    valid = query_mask & (best_d < r2)
+    return Correspondences(idx1=idx1, idx2=idx2, valid=valid)

@@ -1,0 +1,89 @@
+"""Synthetic scene generation — the test backend of the framework.
+
+Host-side numpy re-design of the reference's synthetic generators
+(``/root/reference/src/utils.cpp:8-34``) and the fake-correspondence builder
+duplicated across its synthetic tests
+(``/root/reference/src/tests/initialization_test.cpp:8-26``,
+``picp_solver_test.cpp:8-26``, ``essential_picp_test.cpp:11-29``). Used as
+pytest fixtures (SURVEY.md §4) and by the synthetic benchmark workloads.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from ..ops.camera import Camera, project_points
+
+
+def generate_pose(rng: np.random.Generator) -> np.ndarray:
+    """Random rigid transform: uniform(-1,1) axis-angle + translation.
+
+    Mirrors ``generate_isometry3f`` (utils.cpp:8-20).
+    """
+    axis = rng.uniform(-1.0, 1.0, 3)
+    axis /= np.linalg.norm(axis)
+    angle = rng.uniform(-1.0, 1.0)
+    k = np.array(
+        [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]],
+        np.float32,
+    )
+    r = np.eye(3, dtype=np.float32) + np.sin(angle) * k + (1 - np.cos(angle)) * (k @ k)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = r
+    pose[:3, 3] = rng.uniform(-1.0, 1.0, 3)
+    return pose
+
+
+def generate_points3d(rng: np.random.Generator, num_points: int) -> np.ndarray:
+    """Random world points, z compressed toward [0, 2] around 1.
+
+    Mirrors ``generate_points3d`` (utils.cpp:22-34): x, y ~ U(-10, 10),
+    z ~ U(-10, 10) * 0.1 + 1.
+    """
+    p = rng.uniform(-10.0, 10.0, (num_points, 3)).astype(np.float32)
+    p[:, 2] = p[:, 2] * 0.1 + 1.0
+    return p
+
+
+def generate_appearances(rng: np.random.Generator, num_points: int, dim: int = 10) -> np.ndarray:
+    """Unique random appearance descriptors (the dataset's landmark keys)."""
+    return rng.uniform(-1.0, 1.0, (num_points, dim)).astype(np.float32)
+
+
+def default_camera(world_in_camera=None) -> Camera:
+    """The synthetic-test camera (initialization_test.cpp:51-57 K and sizes)."""
+    k = np.array([[180.0, 0.0, 320.0], [0.0, 180.0, 240.0], [0.0, 0.0, 1.0]], np.float32)
+    return Camera.create(k, world_in_camera, rows=480, cols=640, z_near=0, z_far=5)
+
+
+def two_view_scene(
+    rng: np.random.Generator, num_points: int = 1000
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """World points seen from two random cameras, with identity correspondences.
+
+    Returns (world, w1, w2, p1, p2, corr_valid, x_1_in_2) where w1/w2 are
+    world_in_camera poses, p1/p2 the (N, 2) projections ((-1,-1) when
+    invalid), corr_valid the both-views-valid mask (the masked equivalent of
+    ``computeFakeCorrespondences``), and x_1_in_2 = w2 @ w1⁻¹ the ground
+    truth relative pose (essential_picp_test.cpp:103 convention).
+    """
+    world = generate_points3d(rng, num_points)
+    w1 = generate_pose(rng)
+    w2 = generate_pose(rng)
+    cam1 = default_camera(w1)
+    cam2 = default_camera(w2)
+    p1, v1 = project_points(cam1, world)
+    p2, v2 = project_points(cam2, world)
+    corr_valid = np.asarray(v1) & np.asarray(v2)
+    x_1_in_2 = w2 @ np.linalg.inv(w1)
+    return (
+        world,
+        w1,
+        w2,
+        np.asarray(p1),
+        np.asarray(p2),
+        corr_valid,
+        x_1_in_2.astype(np.float32),
+    )
