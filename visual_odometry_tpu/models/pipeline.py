@@ -1,0 +1,282 @@
+"""The end-to-end monocular VO pipeline as ONE jitted program.
+
+TPU-native re-design of ``vo_complete``
+(``/root/reference/src/apps/vo_complete.cpp:68-186``) and ``vo_daKnown``
+(``/root/reference/src/tests/vo_daKnown.cpp``). The reference drives every
+frame from a host loop (vo_complete.cpp:150-179) with per-frame kd-tree
+builds, O(N*M) correspondence joins and a 100-iteration host GN loop; here
+the *entire* sequence after the two-frame initialization is a single
+``lax.scan`` whose body fuses:
+
+  match -> lookup-join -> PICP (fori_loop) -> triangulate -> map merge
+
+so the whole trajectory is computed in one device program with zero host
+round-trips. All shapes are static (``VOConfig.n_slots`` measurement slots
+per frame, ``VOConfig.map_capacity`` landmarks) with validity masks.
+
+Data-flow invariants preserved from the reference (SURVEY.md §6):
+  1. poses are "previous camera expressed in current camera frame"
+     (vo_complete.cpp:128, epipolar_utils.h:36-43);
+  2. ``point_lookup`` re-encodes correspondences_world: lookup[m] = slot of
+     the triangulated point observed at measurement m of the *reference*
+     frame, -1 if none — the static-shape form of the (meas_idx, world_idx)
+     pairs of utils.cpp:98 after the frame swap at vo_complete.cpp:144-146;
+  3. triangulation always happens in the PREVIOUS frame's camera coords and
+     only previously-triangulated points constrain the next pose
+     (README.md:9, vo_complete.cpp:159-172);
+  4. ``history`` chains current-frame coords back to frame 0
+     (vo_complete.cpp:147,175-176): map points are stored in frame-0 camera
+     coords until the final robot-frame transform.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import epipolar, matching, picp, se3, triangulation
+from ..ops.camera import Camera
+from ..utils.config import VOConfig
+from . import landmark_map
+from .landmark_map import LandmarkMap
+
+Array = jnp.ndarray
+
+
+class FrameData(NamedTuple):
+    """One padded measurement frame on device."""
+
+    points: Array       # (S, 2)
+    appearances: Array  # (S, D)
+    mask: Array         # (S,) bool
+    ids: Array          # (S,) int32 ground-truth landmark ids (-1 on padding)
+
+
+class VOState(NamedTuple):
+    """Scan carry between frames."""
+
+    ref: FrameData        # previous frame's measurements
+    point_lookup: Array   # (S,) int32: ref meas idx -> triangulated slot | -1
+    tri_points: Array     # (S, 3) triangulated points, previous-frame coords
+    tri_valid: Array      # (S,) bool
+    x_curr: Array         # (4, 4) pose of frame k-1 in frame k
+    history: Array        # (4, 4) maps frame k-1 coords -> frame 0 coords
+    map: LandmarkMap
+
+
+class FrameOutput(NamedTuple):
+    pose: Array           # (4, 4) relative pose appended to the trajectory
+    num_matches: Array    # () int32 image-image correspondences
+    num_solver_corr: Array  # () int32 correspondences seen by PICP
+    num_inliers: Array    # () int32 PICP inliers at the last GN round
+    chi_inliers: Array    # () float32
+
+
+def match_by_ids(
+    ids1: Array, mask1: Array, ids2: Array, mask2: Array
+) -> matching.Correspondences:
+    """Ground-truth data association by landmark id.
+
+    Mirrors ``extract_correspondences_images`` of vo_daKnown.cpp:19-33:
+    pairs (ref idx, curr idx) for every id present in both frames, emitted
+    in reference-index order (the reference exploits id-sorted files; ids
+    are unique per frame so an equality matrix + argmax is equivalent).
+    """
+    s = ids1.shape[0]
+    eq = (ids1[:, None] == ids2[None, :]) & mask1[:, None] & mask2[None, :]
+    found = jnp.any(eq, axis=1)
+    idx2 = jnp.argmax(eq, axis=1).astype(jnp.int32)
+    slots = jnp.arange(s, dtype=jnp.int32)
+    return matching.Correspondences(idx1=slots, idx2=idx2, valid=found)
+
+
+def _match(config: VOConfig, use_known_da: bool, ref: FrameData, cur: FrameData):
+    if use_known_da:
+        return match_by_ids(ref.ids, ref.mask, cur.ids, cur.mask)
+    return matching.match_appearances(
+        ref.appearances, ref.mask, cur.appearances, cur.mask, config.match_radius
+    )
+
+
+def _lookup_from_corr(corr: matching.Correspondences, tri_ok: Array, n_slots: int) -> Array:
+    """Scatter (meas idx in frame 2) -> correspondence slot, first-wins.
+
+    The reference's join scans correspondences in order and takes the first
+    hit (vo_complete.cpp:55-63); scatter-min over the slot index reproduces
+    that because slots are emitted in query order.
+    """
+    big = jnp.int32(n_slots + 1)
+    slots = jnp.arange(n_slots, dtype=jnp.int32)
+    vals = jnp.where(corr.valid & tri_ok, slots, big)
+    safe_tgt = jnp.where(corr.valid & tri_ok, corr.idx2, n_slots)
+    lut = jnp.full((n_slots,), big, jnp.int32).at[safe_tgt].min(vals, mode="drop")
+    return jnp.where(lut <= n_slots, lut, -1).astype(jnp.int32)
+
+
+def initialize(
+    camera: Camera,
+    config: VOConfig,
+    frame0: FrameData,
+    frame1: FrameData,
+    use_known_da: bool = False,
+) -> Tuple[VOState, Array]:
+    """Two-frame bootstrap: match, 8-point init, triangulate, seed the map.
+
+    Mirrors vo_complete.cpp:95-148. Returns (state, x_init) where x_init is
+    the frame-0-in-frame-1 pose (trajectory entry 1; entry 0 is identity).
+    """
+    s = config.n_slots
+    corr = _match(config, use_known_da, frame0, frame1)
+    x_init = epipolar.estimate_transform(
+        camera.camera_matrix, corr.idx1, corr.idx2, corr.valid,
+        frame0.points, frame1.points, frame0.mask, frame1.mask,
+    )
+    tri, ok = triangulation.triangulate_correspondences(
+        camera.camera_matrix, x_init, corr.idx1, corr.idx2, corr.valid,
+        frame0.points, frame1.points,
+    )
+    # Triangulated appearances come from the SECOND frame (utils.cpp:127).
+    tri_apps = frame1.appearances[corr.idx2]
+
+    map_state = LandmarkMap.empty(
+        config.map_capacity, frame0.appearances.shape[-1], tri.dtype
+    )
+    map_state = landmark_map.update(map_state, tri, tri_apps, ok)
+
+    state = VOState(
+        ref=frame1,
+        point_lookup=_lookup_from_corr(corr, ok, s),
+        tri_points=tri,
+        tri_valid=ok,
+        x_curr=x_init,
+        history=se3.inverse(x_init),
+        map=map_state,
+    )
+    return state, x_init
+
+
+def frame_step(
+    camera: Camera,
+    config: VOConfig,
+    state: VOState,
+    frame: FrameData,
+    use_known_da: bool = False,
+) -> Tuple[VOState, FrameOutput]:
+    """Track one new frame (the body of vo_complete.cpp:150-179)."""
+    s = config.n_slots
+    corr = _match(config, use_known_da, state.ref, frame)
+
+    # Join image-image matches with the previous triangulation via the
+    # lookup (replaces the O(N*M) scan of vo_complete.cpp:52-66).
+    world_slot = jnp.where(corr.valid, state.point_lookup[jnp.where(corr.valid, corr.idx1, 0)], -1)
+    has_world = corr.valid & (world_slot >= 0)
+    safe_slot = jnp.where(has_world, world_slot, 0)
+    solver_weight = (has_world & state.tri_valid[safe_slot]).astype(frame.points.dtype)
+
+    # Model points: previous triangulation moved into the previous camera's
+    # frame (vo_complete.cpp:159: X_curr * triangulated).
+    tri_in_prev = se3.transform_points(state.x_curr, state.tri_points)
+    world_points = tri_in_prev[safe_slot]
+    measured = frame.points[jnp.where(corr.valid, corr.idx2, 0)]
+
+    # Solver starts from identity each frame (vo_complete.cpp:161).
+    solver_cam = camera.with_pose(jnp.eye(4, dtype=world_points.dtype))
+    solved_cam, stats = picp.solve(
+        solver_cam,
+        world_points,
+        measured,
+        solver_weight,
+        config.gn_iterations,
+        kernel_threshold=config.kernel_threshold,
+        damping=config.damping,
+        keep_outliers=config.keep_outliers,
+    )
+    pose = solved_cam.world_in_camera  # frame k-1 expressed in frame k
+
+    # Re-triangulate the pair (prev, curr) in prev-frame coords.
+    tri, ok = triangulation.triangulate_correspondences(
+        camera.camera_matrix, pose, corr.idx1, corr.idx2, corr.valid,
+        state.ref.points, frame.points,
+    )
+    tri_apps = frame.appearances[corr.idx2]
+
+    # Map merge in frame-0 coords (vo_complete.cpp:175).
+    tri_world = se3.transform_points(state.history, tri)
+    new_map = landmark_map.update(state.map, tri_world, tri_apps, ok)
+
+    new_state = VOState(
+        ref=frame,
+        point_lookup=_lookup_from_corr(corr, ok, s),
+        tri_points=tri,
+        tri_valid=ok,
+        x_curr=pose,
+        history=state.history @ se3.inverse(pose),
+        map=new_map,
+    )
+    out = FrameOutput(
+        pose=pose,
+        num_matches=jnp.sum(corr.valid.astype(jnp.int32)),
+        num_solver_corr=jnp.sum(solver_weight).astype(jnp.int32),
+        num_inliers=stats.num_inliers,
+        chi_inliers=stats.chi_inliers,
+    )
+    return new_state, out
+
+
+@functools.partial(jax.jit, static_argnames=("config", "use_known_da"))
+def _run(
+    camera: Camera,
+    config: VOConfig,
+    points: Array,
+    appearances: Array,
+    masks: Array,
+    ids: Array,
+    use_known_da: bool,
+) -> Tuple[Array, LandmarkMap, FrameOutput]:
+    f0 = FrameData(points[0], appearances[0], masks[0], ids[0])
+    f1 = FrameData(points[1], appearances[1], masks[1], ids[1])
+    state, x_init = initialize(camera, config, f0, f1, use_known_da)
+
+    rest = FrameData(points[2:], appearances[2:], masks[2:], ids[2:])
+
+    def body(carry, frame):
+        return frame_step(camera, config, carry, frame, use_known_da)
+
+    state, outs = jax.lax.scan(body, state, rest)
+
+    trajectory = jnp.concatenate(
+        [jnp.eye(4, dtype=points.dtype)[None], x_init[None], outs.pose], axis=0
+    )
+    return trajectory, state.map, outs
+
+
+def run_sequence(
+    camera: Camera,
+    config: VOConfig,
+    points: Array,        # (F, S, 2)
+    appearances: Array,   # (F, S, D)
+    masks: Array,         # (F, S) bool
+) -> Tuple[Array, LandmarkMap, FrameOutput]:
+    """Full vo_complete pipeline over a stacked sequence, in one jit.
+
+    Returns (trajectory (F, 4, 4) of relative poses — entry 0 identity,
+    entry 1 the epipolar init, then one PICP pose per frame — the final
+    map in frame-0 camera coords, and per-frame diagnostics).
+    """
+    ids = jnp.full(masks.shape, -1, jnp.int32)
+    return _run(camera, config, points, appearances, masks, ids, False)
+
+
+def run_sequence_known_da(
+    camera: Camera,
+    config: VOConfig,
+    points: Array,
+    appearances: Array,
+    masks: Array,
+    ids: Array,
+) -> Tuple[Array, LandmarkMap, FrameOutput]:
+    """vo_daKnown pipeline: data association by ground-truth landmark id."""
+    return _run(camera, config, points, appearances, masks, jnp.asarray(ids), True)

@@ -1,0 +1,50 @@
+"""Configuration for the VO pipelines.
+
+The reference hardcodes every knob across its apps (SURVEY.md §5 "Config /
+flag system"); here they live in one frozen dataclass whose defaults
+reproduce ``vo_complete``:
+
+  * ``gn_iterations=100``            (vo_complete.cpp:163)
+  * ``kernel_threshold=10000``       (vo_complete.cpp:139; solver default is
+                                      1000, picp_solver.cpp:13)
+  * ``damping=1.0``                  (picp_solver.cpp:10)
+  * ``match_radius=0.1``             (vo_complete.cpp:38)
+  * ``min_num_inliers=0``            (picp_solver.cpp:11)
+
+``vo_daKnown`` parity is ``VOConfig(gn_iterations=1000)`` with known DA
+(vo_daKnown.cpp:149-150).
+
+Static-shape knobs (``n_slots``, ``map_capacity``) have no reference
+counterpart — they are the TPU pad-to-max sizes. Keep them multiples of 128
+(the f32 lane count) for clean tiling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class VOConfig:
+    # --- static shapes (compile-time) ---
+    n_slots: int = 128          # measurement slots per frame (max meas count)
+    map_capacity: int = 1024    # landmark-map capacity
+
+    # --- solver ---
+    gn_iterations: int = 100
+    kernel_threshold: float = 10000.0
+    damping: float = 1.0
+    min_num_inliers: int = 0
+    keep_outliers: bool = False
+
+    # --- data association ---
+    match_radius: float = 0.1
+
+    # --- numerics ---
+    dtype: str = "float32"
+
+    def replace(self, **kw) -> "VOConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = VOConfig()
