@@ -11,4 +11,15 @@ the hot ops, and sharded multi-chip matching / bundle adjustment.
 
 __version__ = "0.1.0"
 
-from . import models, ops, parallel, utils  # noqa: F401
+import jax as _jax
+
+# Framework precision policy: geometry estimation needs true float32
+# matmuls. On TPU the MXU default routes f32 through bf16 passes
+# (~8 mantissa bits), which destroys epipolar/GN numerics (pixel coords are
+# O(600); bf16 rounding alone exceeds the reference's e_theta by orders of
+# magnitude — measured: RMSE_pos 44.7 vs 0.14 with full precision).
+# Kernels that can tolerate reduced precision opt back in locally via an
+# explicit ``precision=`` argument.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
+from . import models, ops, parallel, utils  # noqa: F401,E402

@@ -82,7 +82,19 @@ def estimate_fundamental(
 
     ata = rows.T @ rows  # (9, 9) normal matrix — one small MXU matmul
     _, vecs = jnp.linalg.eigh(ata)
-    f_approx = vecs[:, 0].reshape(3, 3)
+    v = vecs[:, 0]
+    # Inverse-iteration polish: TPU's f32 eigh leaves ~1e-3 error in the
+    # null vector (measured; CPU LAPACK gives ~1e-5), which is fatal for
+    # the downstream essential decomposition. Each inverse-power step
+    # contracts the error by lambda_0/lambda_1 (~1e-4 on real frames), and
+    # inverse iteration is self-correcting under inexact f32 solves. The
+    # tiny ridge keeps the solve defined when the null space is exact.
+    ridge = 1e-12 * jnp.trace(ata)
+    ata_r = ata + ridge * jnp.eye(9, dtype=ata.dtype)
+    for _ in range(3):
+        v = jnp.linalg.solve(ata_r, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+    f_approx = v.reshape(3, 3)
 
     # Re-impose rank 2 (epipolar_utils.cpp:133-141).
     u, s, vt = jnp.linalg.svd(f_approx, full_matrices=True)
