@@ -193,6 +193,7 @@ def frame_step(
         kernel_threshold=config.kernel_threshold,
         damping=config.damping,
         keep_outliers=config.keep_outliers,
+        tolerance=config.gn_tolerance,
     )
     pose = solved_cam.world_in_camera  # frame k-1 expressed in frame k
 

@@ -125,15 +125,18 @@ def one_round(
     kernel_threshold: Array,
     damping: Array,
     keep_outliers: bool = False,
-) -> Tuple[Camera, PICPStats]:
-    """One GN round (picp_solver.cpp:98-112): linearize, damp, solve, update."""
+) -> Tuple[Camera, PICPStats, Array]:
+    """One GN round (picp_solver.cpp:98-112): linearize, damp, solve, update.
+
+    Also returns the applied increment ``dx`` (6,) for convergence checks.
+    """
     h, b, stats = linearize(
         camera, world_points, measured_points, weights, kernel_threshold, keep_outliers
     )
     h = h + damping * jnp.eye(6, dtype=h.dtype)
     dx = jnp.linalg.solve(h, -b)
     new_pose = se3.v2t_euler(dx) @ camera.world_in_camera
-    return camera.with_pose(new_pose), stats
+    return camera.with_pose(new_pose), stats, dx
 
 
 def solve(
@@ -145,25 +148,55 @@ def solve(
     kernel_threshold: float = 10000.0,
     damping: float = 1.0,
     keep_outliers: bool = False,
+    tolerance: float = 0.0,
 ) -> Tuple[Camera, PICPStats]:
-    """Run ``num_iterations`` GN rounds as one on-device loop.
+    """Run up to ``num_iterations`` GN rounds as one on-device loop.
 
     Replaces the host loops of vo_complete.cpp:163-164 (100 rounds) and
-    vo_daKnown.cpp:149-150 (1000 rounds). ``num_iterations`` is static so the
-    loop compiles to a single fori_loop.
+    vo_daKnown.cpp:149-150 (1000 rounds). The reference runs its full
+    iteration budget blindly; with ``tolerance > 0`` we stop once the
+    applied increment satisfies ``||dx||^2 <= tolerance`` — GN converges
+    quadratically, so a tight tolerance reproduces the 100-round result
+    while doing ~10x less sequential work (the dominant cost on TPU, where
+    the frame loop's latency is iteration-bound).
+
+    ``tolerance == 0`` runs exactly ``num_iterations`` rounds (bit-parity
+    with the reference's fixed budget).
     """
     kt = jnp.asarray(kernel_threshold, world_points.dtype)
     dp = jnp.asarray(damping, world_points.dtype)
-
-    def body(_, carry):
-        cam, _ = carry
-        return one_round(
-            cam, world_points, measured_points, weights, kt, dp, keep_outliers
-        )
 
     init_stats = PICPStats(
         chi_inliers=jnp.zeros((), world_points.dtype),
         chi_outliers=jnp.zeros((), world_points.dtype),
         num_inliers=jnp.zeros((), jnp.int32),
     )
-    return jax.lax.fori_loop(0, num_iterations, body, (camera, init_stats))
+
+    if tolerance <= 0.0:
+
+        def body(_, carry):
+            cam, _ = carry
+            cam, stats, _dx = one_round(
+                cam, world_points, measured_points, weights, kt, dp, keep_outliers
+            )
+            return cam, stats
+
+        return jax.lax.fori_loop(0, num_iterations, body, (camera, init_stats))
+
+    tol = jnp.asarray(tolerance, world_points.dtype)
+
+    def cond(carry):
+        _, _, it, dx2 = carry
+        return (it < num_iterations) & (dx2 > tol)
+
+    def body(carry):
+        cam, _, it, _ = carry
+        cam, stats, dx = one_round(
+            cam, world_points, measured_points, weights, kt, dp, keep_outliers
+        )
+        return cam, stats, it + 1, jnp.sum(dx * dx)
+
+    cam, stats, _, _ = jax.lax.while_loop(
+        cond, body, (camera, init_stats, jnp.int32(0), jnp.asarray(jnp.inf, world_points.dtype))
+    )
+    return cam, stats

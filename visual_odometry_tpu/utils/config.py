@@ -36,6 +36,12 @@ class VOConfig:
     damping: float = 1.0
     min_num_inliers: int = 0
     keep_outliers: bool = False
+    # Early-exit tolerance on ||dx||^2 per GN round. The reference burns its
+    # full fixed budget (vo_complete.cpp:163); GN converges quadratically,
+    # so this tolerance reproduces the converged result with ~10x fewer
+    # sequential rounds. Set to 0.0 for the reference's exact fixed-budget
+    # behavior.
+    gn_tolerance: float = 1e-12
 
     # --- data association ---
     match_radius: float = 0.1
