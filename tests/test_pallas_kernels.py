@@ -1,0 +1,119 @@
+"""Pallas kernels vs their pure-JAX references (interpret mode on CPU).
+
+On real TPU hardware the same comparisons are exercised by the benchmark
+and the TPU pipeline runs; these tests pin the kernel semantics.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from visual_odometry_tpu.ops import picp, se3
+from visual_odometry_tpu.ops.camera import project_points
+from visual_odometry_tpu.ops.pallas.matcher_kernel import best_match_pallas
+from visual_odometry_tpu.ops.pallas.picp_kernel import linearize_pallas
+from visual_odometry_tpu.utils import synthetic
+
+
+def test_matcher_kernel_matches_oracle(rng):
+    k, q_n, d = 1000, 77, 10
+    db = rng.uniform(-1, 1, (k, d)).astype(np.float32)
+    q = db[rng.integers(0, k, q_n)].copy()
+    q[:5] += 3.0
+    db_mask = np.ones(k, bool)
+    db_mask[500:600] = False
+    q_mask = np.ones(q_n, bool)
+    q_mask[-3:] = False
+
+    dist, idx = best_match_pallas(
+        jnp.asarray(q), jnp.asarray(q_mask), jnp.asarray(db), jnp.asarray(db_mask),
+        interpret=True,
+    )
+    d2 = ((q[:, None, :] - db[None, :, :]) ** 2).sum(-1)
+    d2[:, ~db_mask] = np.inf
+    np.testing.assert_array_equal(np.array(idx)[q_mask], d2.argmin(1)[q_mask])
+    np.testing.assert_allclose(np.array(dist)[q_mask], d2.min(1)[q_mask], atol=1e-3)
+    assert (np.array(dist)[~q_mask] > 1e30).all()
+
+
+def test_matcher_kernel_first_index_tie_break(rng):
+    db = np.zeros((600, 10), np.float32)
+    db[100] = 1.0
+    db[400] = 1.0  # exact duplicate in a later tile
+    q = np.ones((1, 10), np.float32)
+    dist, idx = best_match_pallas(
+        jnp.asarray(q), jnp.ones(1, bool), jnp.asarray(db), jnp.ones(600, bool),
+        tk=128, interpret=True,
+    )
+    assert int(idx[0]) == 100
+
+
+def test_matcher_kernel_garbage_in_masked_rows(rng):
+    db = rng.uniform(-1, 1, (256, 10)).astype(np.float32)
+    q = db[:8].copy()
+    db_mask = np.ones(256, bool)
+    db_mask[8:16] = False
+    db[8:16] = np.nan
+    dist, idx = best_match_pallas(
+        jnp.asarray(q), jnp.ones(8, bool), jnp.asarray(db), jnp.asarray(db_mask),
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.array(idx), np.arange(8))
+
+
+@pytest.mark.parametrize("n", [100, 300, 1000])
+def test_picp_kernel_matches_jax_linearize(rng, n):
+    world = synthetic.generate_points3d(rng, n)
+    # A pose far from convergence so H AND b are large (relative compare).
+    pose = np.array(se3.v2t_euler(jnp.asarray(np.float32([0.2, -0.1, 0.3, 0.05, -0.08, 0.02]))))
+    cam = synthetic.default_camera(pose)
+    gt_cam = synthetic.default_camera(np.eye(4, dtype=np.float32))
+    meas, valid = project_points(gt_cam, jnp.asarray(world))
+    w = np.array(valid).astype(np.float32)
+
+    h0, b0, s0 = picp.linearize(
+        cam, jnp.asarray(world), np.asarray(meas), jnp.asarray(w), jnp.float32(1e4)
+    )
+    cam_params = jnp.asarray(
+        [float(cam.z_near), float(cam.z_far), float(cam.cols), float(cam.rows)],
+        jnp.float32,
+    )
+    h1, b1, s1 = linearize_pallas(
+        cam.camera_matrix, cam.world_in_camera, cam_params,
+        jnp.asarray(world), jnp.asarray(np.asarray(meas)), jnp.asarray(w),
+        jnp.float32(1e4), interpret=True,
+    )
+    scale_h = max(1.0, float(np.abs(np.array(h0)).max()))
+    scale_b = max(1.0, float(np.abs(np.array(b0)).max()))
+    np.testing.assert_allclose(np.array(h1) / scale_h, np.array(h0) / scale_h, atol=1e-5)
+    np.testing.assert_allclose(np.array(b1) / scale_b, np.array(b0) / scale_b, atol=1e-5)
+    assert int(s0.num_inliers) == int(s1.num_inliers)
+    np.testing.assert_allclose(
+        float(s1.chi_inliers), float(s0.chi_inliers), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(s1.chi_outliers), float(s0.chi_outliers), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_picp_kernel_keep_outliers(rng):
+    world = synthetic.generate_points3d(rng, 200)
+    cam = synthetic.default_camera(np.eye(4, dtype=np.float32))
+    meas, valid = project_points(cam, jnp.asarray(world))
+    meas = np.array(meas) + 100.0  # everything an outlier
+    w = np.array(valid).astype(np.float32)
+    cam_params = jnp.asarray([0.0, 5.0, 640.0, 480.0], jnp.float32)
+    args = (
+        cam.camera_matrix, cam.world_in_camera, cam_params,
+        jnp.asarray(world), jnp.asarray(meas), jnp.asarray(w), jnp.float32(1e3),
+    )
+    h_drop, b_drop, _ = linearize_pallas(*args, keep_outliers=False, interpret=True)
+    h_keep, b_keep, _ = linearize_pallas(*args, keep_outliers=True, interpret=True)
+    assert np.abs(np.array(h_drop)).max() == 0.0
+    assert np.abs(np.array(h_keep)).max() > 0.0
+    h0, b0, _ = picp.linearize(
+        cam, jnp.asarray(world), jnp.asarray(meas), jnp.asarray(w),
+        jnp.float32(1e3), keep_outliers=True,
+    )
+    scale = max(1.0, float(np.abs(np.array(h0)).max()))
+    np.testing.assert_allclose(np.array(h_keep) / scale, np.array(h0) / scale, atol=1e-5)
