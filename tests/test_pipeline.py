@@ -84,6 +84,24 @@ def test_per_frame_diagnostics(vo_run):
     assert (inliers > 0).all()
 
 
+def test_refined_pipeline_beats_baseline_robustly(tmp_path):
+    """Tracking + BA refinement must beat EVERY reference metric with margin
+    (this is the framework's flagship configuration)."""
+    data_dir = "/root/reference/example_data/data"
+    if not os.path.isdir(data_dir):
+        pytest.skip("reference example dataset not available")
+    from visual_odometry_tpu.utils.config import ACCURATE_CONFIG
+
+    out = str(tmp_path)
+    apps.run_vo_complete(data_dir, out, ACCURATE_CONFIG, verbose=False)
+    res = apps.run_evaluation(data_dir, out, verbose=False)
+    finite = np.isfinite(res.orientation_errors)
+    e_theta = np.abs(res.orientation_errors[finite]).mean()
+    assert e_theta < 3e-6          # baseline 5.31e-6
+    assert res.rmse_position < 0.145  # baseline 0.1453
+    assert res.rmse_map < 0.15        # baseline 0.1841
+
+
 def test_known_da_pipeline(tmp_path):
     data_dir = "/root/reference/example_data/data"
     if not os.path.isdir(data_dir):

@@ -77,7 +77,22 @@ def run_vo_complete(
     trajectory = np.asarray(trajectory)  # blocks until done
     elapsed = time.perf_counter() - t0
 
-    map_pts, map_apps = compact(map_state)
+    if config.refine_iterations > 0:
+        from .models import refinement
+
+        trajectory, map_pts, map_apps, _ = refinement.refine_trajectory(
+            params.camera_matrix,
+            trajectory,
+            map_state,
+            np.asarray(seq.points),
+            np.asarray(seq.appearances),
+            np.asarray(seq.mask),
+            num_iterations=config.refine_iterations,
+            damping=config.refine_damping,
+            kernel_threshold=config.kernel_threshold,
+        )
+    else:
+        map_pts, map_apps = compact(map_state)
     # map = H * map before writing (vo_complete.cpp:181).
     h = params.cam_in_robot
     map_robot = map_pts @ h[:3, :3].T + h[:3, 3]
