@@ -1,0 +1,63 @@
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from visual_odometry_tpu.models import pipeline
+from visual_odometry_tpu.ops.camera import Camera
+from visual_odometry_tpu.parallel import multiseq
+from visual_odometry_tpu.parallel.mesh import make_mesh
+from visual_odometry_tpu.utils import io
+from visual_odometry_tpu.utils.config import VOConfig
+
+
+@pytest.fixture(scope="module")
+def small_batch():
+    data_dir = "/root/reference/example_data/data"
+    if not os.path.isdir(data_dir):
+        pytest.skip("reference example dataset not available")
+    params = io.load_camera_params(os.path.join(data_dir, "camera.dat"))
+    camera = Camera.create(
+        params.camera_matrix, rows=params.height, cols=params.width,
+        z_near=params.z_near, z_far=params.z_far,
+    )
+    seq = io.load_sequence(data_dir, 128)
+    # Two "sequences": the first 30 frames, and frames 10..40 (distinct data).
+    pts = np.stack([seq.points[:30], seq.points[10:40]])
+    apps = np.stack([seq.appearances[:30], seq.appearances[10:40]])
+    mask = np.stack([seq.mask[:30], seq.mask[10:40]])
+    return camera, pts, apps, mask
+
+
+def test_batched_equals_sequential(small_batch):
+    camera, pts, apps, mask = small_batch
+    cfg = VOConfig(gn_iterations=20)
+    traj_b, maps_b, outs_b = multiseq.run_sequences_batched(
+        camera, cfg, jnp.asarray(pts), jnp.asarray(apps), jnp.asarray(mask)
+    )
+    for b in range(2):
+        traj, _, _ = pipeline.run_sequence(
+            camera, cfg, jnp.asarray(pts[b]), jnp.asarray(apps[b]), jnp.asarray(mask[b])
+        )
+        np.testing.assert_allclose(
+            np.asarray(traj_b)[b, :, :3, 3], np.asarray(traj)[:, :3, 3], atol=5e-4
+        )
+
+
+def test_sharded_over_dp_mesh(small_batch):
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    camera, pts, apps, mask = small_batch
+    cfg = VOConfig(gn_iterations=20)
+    mesh = make_mesh(2, ("dp", "lm"), dp_size=2)
+    traj_b, _, _ = multiseq.run_sequences_batched(
+        camera, cfg, jnp.asarray(pts), jnp.asarray(apps), jnp.asarray(mask), mesh=mesh
+    )
+    traj_ref, _, _ = multiseq.run_sequences_batched(
+        camera, cfg, jnp.asarray(pts), jnp.asarray(apps), jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_b)[:, :, :3, 3], np.asarray(traj_ref)[:, :, :3, 3], atol=5e-4
+    )

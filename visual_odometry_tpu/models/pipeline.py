@@ -271,6 +271,31 @@ def run_sequence(
     return _run(camera, config, points, appearances, masks, ids, False)
 
 
+@functools.partial(jax.jit, static_argnames=("config", "use_known_da"))
+def continue_sequence(
+    camera: Camera,
+    config: VOConfig,
+    state: VOState,
+    points: Array,        # (F', S, 2) frames to process
+    appearances: Array,
+    masks: Array,
+    ids: Array,
+    use_known_da: bool = False,
+) -> Tuple[VOState, FrameOutput]:
+    """Resume tracking from a carried state (checkpoint/resume support).
+
+    Scanning the same frames in one call or across several calls with the
+    carried state in between produces identical results — the carry is the
+    complete pipeline state (utils/checkpoint.py round-trips it).
+    """
+    frames = FrameData(points, appearances, masks, ids)
+
+    def body(carry, frame):
+        return frame_step(camera, config, carry, frame, use_known_da)
+
+    return jax.lax.scan(body, state, frames)
+
+
 def run_sequence_known_da(
     camera: Camera,
     config: VOConfig,
