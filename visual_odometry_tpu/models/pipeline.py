@@ -182,8 +182,12 @@ def frame_step(
     world_points = tri_in_prev[safe_slot]
     measured = frame.points[jnp.where(corr.valid, corr.idx2, 0)]
 
-    # Solver starts from identity each frame (vo_complete.cpp:161).
-    solver_cam = camera.with_pose(jnp.eye(4, dtype=world_points.dtype))
+    # Solver start: identity each frame (vo_complete.cpp:161), or the
+    # previous relative pose as a constant-velocity warm start.
+    if config.warm_start:
+        solver_cam = camera.with_pose(state.x_curr)
+    else:
+        solver_cam = camera.with_pose(jnp.eye(4, dtype=world_points.dtype))
     solved_cam, stats = picp.solve(
         solver_cam,
         world_points,

@@ -1,3 +1,12 @@
 """Geometry and association kernels (JAX/XLA; Pallas variants in ops.pallas)."""
 
-from . import camera, epipolar, matching, picp, se3, triangulation  # noqa: F401
+from . import (  # noqa: F401
+    camera,
+    epipolar,
+    linalg6,
+    matching,
+    picp,
+    se3,
+    stats,
+    triangulation,
+)

@@ -60,6 +60,26 @@ def pairwise_sq_dists(a: Array, b: Array) -> Array:
     return jnp.maximum(d, 0.0)
 
 
+def radius_search(
+    queries: Array,
+    q_mask: Array,
+    db: Array,
+    db_mask: Array,
+    radius: float = 0.1,
+) -> Array:
+    """All-matches-within-radius as a dense boolean matrix (Q, K).
+
+    The masked equivalent of the kd-tree radius queries
+    ``fullSearch``/``bruteForceSearch`` (eigen_kdtree.h:54-70,
+    brute_force_search.h:3-20): entry (q, k) is True iff both slots are
+    live and ``||a_q - b_k||^2 < radius^2`` (strict, matching the
+    reference's ``< squared_norm``).
+    """
+    d = pairwise_sq_dists(queries, db)
+    r2 = jnp.asarray(radius, d.dtype) ** 2
+    return (d < r2) & q_mask[:, None] & db_mask[None, :]
+
+
 def match_appearances(
     app1: Array,
     mask1: Array,

@@ -55,6 +55,30 @@ def single_axis_mesh(n_devices: Optional[int] = None, name: str = "lm") -> Mesh:
     return Mesh(np.asarray(devices[:n_devices]), (name,))
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialize multi-host JAX (the NCCL/MPI-init analog).
+
+    Call once per host before building meshes; ``jax.devices()`` then spans
+    the whole pod slice and the (dp, lm) meshes built here automatically
+    ride ICI within a slice and DCN across slices. Arguments default to the
+    standard JAX environment variables (TPU pods auto-discover). Returns
+    the global device count. No-op if already initialized.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        pass  # already initialized
+    return len(jax.devices())
+
+
 def pad_to_multiple(x: np.ndarray, axis: int, multiple: int, fill=0):
     """Pad ``x`` so shape[axis] divides ``multiple`` (sharding needs equal shards)."""
     n = x.shape[axis]

@@ -42,6 +42,13 @@ class VOConfig:
     # sequential rounds. Set to 0.0 for the reference's exact fixed-budget
     # behavior.
     gn_tolerance: float = 1e-12
+    # Start each frame's GN from the previous relative pose (constant-
+    # velocity prior) instead of the reference's identity start
+    # (vo_complete.cpp:161). Measured: ~8% faster but the ||dx|| early exit
+    # then triggers before full convergence (small first step near the
+    # optimum), costing accuracy (e_theta 1.8e-4 vs 4.9e-6 on
+    # example_data). Only use with gn_tolerance == 0.
+    warm_start: bool = False
 
     # --- data association ---
     match_radius: float = 0.1
