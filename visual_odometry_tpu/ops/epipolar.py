@@ -37,6 +37,15 @@ from . import se3, triangulation
 Array = jnp.ndarray
 
 
+def transform_to_essential(x_1_in_2: Array) -> Array:
+    """Ground-truth essential matrix from a relative pose.
+
+    Mirrors ``transform2essential`` (epipolar_utils.cpp:3-7):
+    ``E = Rᵀ skew(t)`` — used for synthetic cross-checks of the estimator.
+    """
+    return jnp.swapaxes(se3.rot(x_1_in_2), -1, -2) @ se3.skew(se3.trans(x_1_in_2))
+
+
 def normalize_points(points: Array, mask: Array) -> Tuple[Array, Array]:
     """Scale pixel coords into [-1, 1] per axis; returns (normalized, T).
 
