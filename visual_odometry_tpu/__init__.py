@@ -22,4 +22,20 @@ import jax as _jax
 # explicit ``precision=`` argument.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the scan-over-frames pipeline is a large
+# program (minutes to compile through a remote-compile tunnel) that changes
+# rarely; caching makes every fresh process after the first start in
+# seconds.
+import os as _os  # noqa: E402
+
+_cache_dir = _os.environ.get(
+    "VO_TPU_JAX_CACHE", _os.path.expanduser("~/.cache/vo_tpu_jax")
+)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # cache is an optimization, never a requirement
+    pass
+
 from . import models, ops, parallel, utils  # noqa: F401,E402
