@@ -55,3 +55,32 @@ def test_cli_dispatch(reference_data_dir, tmp_path, monkeypatch):
     assert apps.main(["read_data_test", reference_data_dir]) == 0
     assert apps.main(["bogus", reference_data_dir]) == 1
     assert apps.main([]) == 1
+
+
+def test_init_synthetic(capsys):
+    x, x_gt = apps.run_init_synthetic(seed=0, num_points=400)
+    np.testing.assert_allclose(x[:3, :3], x_gt[:3, :3], atol=5e-3)
+    # constant per-axis t ratio = correct direction up to monocular scale
+    ratio = x[:3, 3] / x_gt[:3, 3]
+    assert np.abs(ratio - ratio.mean()).max() < 1e-2 * abs(ratio.mean())
+
+
+def test_picp_synthetic():
+    x, x_gt = apps.run_picp_synthetic(seed=0, num_points=1000, iterations=100, verbose=False)
+    np.testing.assert_allclose(x[:3, :3], x_gt[:3, :3], atol=1e-3)
+    np.testing.assert_allclose(x[:3, 3], x_gt[:3, 3], atol=1e-2)
+
+
+def test_whole_synthetic_app():
+    x, x_gt = apps.run_whole_synthetic(seed=0, num_points=1500, verbose=False)
+    np.testing.assert_allclose(x[:3, :3], x_gt[:3, :3], atol=1e-2)
+
+
+def test_kdtree_selfcheck():
+    correct = apps.run_kdtree_test(seed=0, num_points=300, verbose=False)
+    assert correct.mean() > 0.9
+
+
+def test_cli_dispatch_synthetic(capsys):
+    assert apps.main(["kdtree_test", "3"]) == 0
+    assert "FAST Correct" in capsys.readouterr().out

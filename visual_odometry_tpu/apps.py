@@ -12,6 +12,10 @@ Usage::
     python -m visual_odometry_tpu.apps vo_complete <data_dir> [out_dir]
     python -m visual_odometry_tpu.apps evaluation  <data_dir> [out_dir]
     python -m visual_odometry_tpu.apps vo_daknown  <data_dir> [out_dir]
+    python -m visual_odometry_tpu.apps init        [seed]   # initialization_test.cpp
+    python -m visual_odometry_tpu.apps picp_test   [seed]   # picp_solver_test.cpp
+    python -m visual_odometry_tpu.apps whole_test  [seed]   # essential_picp_test.cpp
+    python -m visual_odometry_tpu.apps kdtree_test [seed]   # eigen_kdtree_test.cpp
 
 Output-file contract matches README.md:56-68 (world.txt, map.txt,
 map_appearances.txt, trajectory_gt.txt, trajectory_est_complete.txt,
@@ -34,6 +38,7 @@ from .models.landmark_map import compact
 from .ops.camera import Camera
 from .utils import evaluation as eval_mod
 from .utils import io
+from .utils import synthetic as synthetic_mod
 from .utils.config import DEFAULT_CONFIG, VOConfig
 
 
@@ -335,6 +340,171 @@ def run_compute_corr(data_dir: str, verbose: bool = True):
     return a_set, g_set
 
 
+def _print_comparison(x_est: np.ndarray, x_gt: np.ndarray, title: str = ""):
+    """Printed pose comparison (initialization_test.cpp:27-40 format)."""
+    if title:
+        print(title)
+    print("R estimated:\n", x_est[:3, :3])
+    print("R gt:\n", x_gt[:3, :3])
+    ratio = x_est[:3, 3] / x_gt[:3, 3]
+    print("t ratio:", ", ".join(f"{r:g}" for r in ratio))
+
+
+def run_init_synthetic(seed: int = 0, num_points: int = 1000, verbose: bool = True):
+    """Synthetic epipolar-initialization check (initialization_test.cpp:41-89).
+
+    Random pose + ``num_points`` world points, projected by two cameras with
+    identity correspondences; runs the 8-point estimator and prints the R
+    comparison and the per-axis t ratio (constant ratio = correct direction;
+    monocular scale is unobservable).
+    """
+    import jax.numpy as jnp
+
+    from .ops import epipolar
+
+    rng = np.random.default_rng(seed)
+    world, w1, w2, p1, p2, corr_valid, x_gt = synthetic_mod.two_view_scene(rng, num_points)
+    cam = synthetic_mod.default_camera()
+    idx = jnp.arange(num_points, dtype=jnp.int32)
+    x = np.asarray(
+        epipolar.estimate_transform(
+            cam.camera_matrix,
+            idx,
+            idx,
+            jnp.asarray(corr_valid),
+            jnp.asarray(p1),
+            jnp.asarray(p2),
+            jnp.asarray(corr_valid),
+            jnp.asarray(corr_valid),
+        )
+    )
+    if verbose:
+        _print_comparison(x, x_gt, "epipolar init")
+    return x, x_gt
+
+
+def run_picp_synthetic(
+    seed: int = 0, num_points: int = 1000, iterations: int = 1000, verbose: bool = True
+):
+    """Synthetic PICP-only check (picp_solver_test.cpp:42-79).
+
+    Known world points, measurements projected under a random ground-truth
+    pose, solver started at identity with kernel threshold 10000 and the
+    reference's 1000 rounds; prints estimated vs ground-truth pose.
+    """
+    import jax.numpy as jnp
+
+    from .ops import picp
+    from .ops.camera import project_points
+
+    rng = np.random.default_rng(seed)
+    x_gt = synthetic_mod.generate_pose(rng)
+    world = synthetic_mod.generate_points3d(rng, num_points)
+    cam_ref = synthetic_mod.default_camera()
+    cam_cur = synthetic_mod.default_camera(x_gt)
+    p_ref, v_ref = project_points(cam_ref, jnp.asarray(world))
+    p_cur, v_cur = project_points(cam_cur, jnp.asarray(world))
+    weights = (v_ref & v_cur).astype(jnp.float32)
+
+    cam0 = synthetic_mod.default_camera(np.eye(4, dtype=np.float32))
+    solved, stats = picp.solve(
+        cam0, jnp.asarray(world), p_cur, weights, iterations, kernel_threshold=10000.0
+    )
+    x_est = np.asarray(solved.world_in_camera)
+    if verbose:
+        _print_comparison(x_est, x_gt, "PICP solver")
+        print(f"inliers: {int(stats.num_inliers)}  chi inliers: {float(stats.chi_inliers):g}")
+    return x_est, x_gt
+
+
+def run_whole_synthetic(seed: int = 0, num_points: int = 1000, verbose: bool = True):
+    """Composed synthetic pipeline check (essential_picp_test.cpp:45-106).
+
+    Three synthetic views: epipolar init between views 0-1, triangulation,
+    PICP against view 2; the PICP stage's ground truth is the scale-free
+    relative pose ``X_gt2 · X_gt1⁻¹``.
+    """
+    import jax.numpy as jnp
+
+    from .ops import epipolar, picp, se3, triangulation
+    from .ops.camera import project_points
+
+    rng = np.random.default_rng(seed)
+    world = jnp.asarray(synthetic_mod.generate_points3d(rng, num_points))
+    w1 = synthetic_mod.generate_pose(rng)
+    w2 = synthetic_mod.generate_pose(rng)
+    w3 = synthetic_mod.generate_pose(rng)
+    cam = synthetic_mod.default_camera()
+    p1, v1 = project_points(synthetic_mod.default_camera(w1), world)
+    p2, v2 = project_points(synthetic_mod.default_camera(w2), world)
+    p3, v3 = project_points(synthetic_mod.default_camera(w3), world)
+    idx = jnp.arange(num_points, dtype=jnp.int32)
+    corr12 = v1 & v2
+
+    x12 = epipolar.estimate_transform(cam.camera_matrix, idx, idx, corr12, p1, p2, v1, v2)
+    x12_gt = (w2 @ np.linalg.inv(w1)).astype(np.float32)
+    if verbose:
+        _print_comparison(np.asarray(x12), x12_gt, "init (view 1 in view 2)")
+
+    tri, ok = triangulation.triangulate_correspondences(
+        cam.camera_matrix, x12, idx, idx, corr12, p1, p2
+    )
+    tri_in_2 = se3.transform_points(x12, tri)
+    weights = (ok & v3).astype(jnp.float32)
+    cam0 = synthetic_mod.default_camera(np.eye(4, dtype=np.float32))
+    solved, stats = picp.solve(cam0, tri_in_2, p3, weights, 1000, kernel_threshold=10000.0)
+    x23_est = np.asarray(solved.world_in_camera)
+    x23_gt = (w3 @ np.linalg.inv(w2)).astype(np.float32)
+    if verbose:
+        print(f"triangulated in front: {int(ok.sum())}")
+        _print_comparison(x23_est, x23_gt, "PICP (view 2 in view 3)")
+        print(f"inliers: {int(stats.num_inliers)}")
+    return x23_est, x23_gt
+
+
+def run_kdtree_test(seed: int = 0, num_points: int = 500, verbose: bool = True):
+    """Exact-vs-approximate matcher cross-check (eigen_kdtree_test.cpp:42-67).
+
+    Builds the batched PCA-split tree over random points and compares the
+    one-sided ``best_match_fast`` against the exact dense search per query,
+    printing the FAST Correct / Not Correct tally the reference prints
+    per line.
+    """
+    import jax.numpy as jnp
+
+    from .ops import matching, pca_tree
+
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-10.0, 10.0, (num_points, 3)).astype(np.float32)
+    queries = (pts + rng.normal(0, 0.1, pts.shape)).astype(np.float32)
+    mask = jnp.ones(num_points, bool)
+    db = jnp.asarray(pts)
+    q = jnp.asarray(queries)
+
+    levels = max(1, int(np.log2(max(num_points / 10.0, 2.0))))
+    tree = pca_tree.build_tree(db, mask, levels=levels)
+    idx_fast, found_fast = pca_tree.best_match_fast(tree, db, q, mask, radius=0.5)
+
+    d = np.asarray(matching.pairwise_sq_dists(q, db))
+    exact_idx = d.argmin(1)
+    exact_found = d.min(1) < 0.5**2
+    fast_idx = np.asarray(idx_fast)
+    fast_found = np.asarray(found_fast)
+    correct = (fast_found == exact_found) & (~exact_found | (fast_idx == exact_idx))
+    if verbose:
+        print(
+            f"FAST Correct: {int(correct.sum())}/{num_points} "
+            f"(exact matches: {int(exact_found.sum())}, tree depth {levels})"
+        )
+        for i in np.where(~correct)[0][:10]:
+            print(
+                f"FAST Not Correct: query {i}: fast="
+                f"{fast_idx[i] if fast_found[i] else 'NONE'} "
+                f"full={exact_idx[i] if exact_found[i] else 'NONE'}"
+            )
+    return correct
+
+
 def run_read_data_test(data_dir: str):
     """Dataset-reader smoke test (read_data_test.cpp)."""
     params, camera, seq = _load(data_dir, DEFAULT_CONFIG)
@@ -349,12 +519,28 @@ def run_read_data_test(data_dir: str):
     return params, seq
 
 
+_SYNTHETIC_CMDS = {
+    "init": run_init_synthetic,
+    "picp_test": run_picp_synthetic,
+    "whole_test": run_whole_synthetic,
+    "kdtree_test": run_kdtree_test,
+}
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
+    if len(argv) < 1:
+        print(__doc__)
+        return 1
+    cmd = argv[0]
+    if cmd in _SYNTHETIC_CMDS:
+        seed = int(argv[1]) if len(argv) > 1 else 0
+        _SYNTHETIC_CMDS[cmd](seed=seed)
+        return 0
     if len(argv) < 2:
         print(__doc__)
         return 1
-    cmd, data_dir = argv[0], argv[1]
+    data_dir = argv[1]
     out_dir = argv[2] if len(argv) > 2 else "."
     if cmd == "vo_complete":
         run_vo_complete(data_dir, out_dir)
