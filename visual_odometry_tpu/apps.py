@@ -340,6 +340,28 @@ def run_compute_corr(data_dir: str, verbose: bool = True):
     return a_set, g_set
 
 
+def run_vo_se2(
+    data_dir: str,
+    out_dir: str = ".",
+    config: Optional[VOConfig] = None,
+    verbose: bool = True,
+):
+    """Full VO with the estimation constrained to SE(2) in the robot plane.
+
+    The TPU-native counterpart of the reference's ``est_SE2`` branch
+    (README.md:13): identical pipeline to :func:`run_vo_complete`, but the
+    per-frame solve uses the 3-DoF planar solver (ops/picp_se2) conjugated
+    by the camera mount from ``camera.dat``, and the two-view init is
+    planarized. Outputs use the same file contract so ``evaluation`` works
+    unchanged.
+    """
+    params, _, _ = _load(data_dir, DEFAULT_CONFIG)
+    if config is None:
+        config = DEFAULT_CONFIG
+    config = config.with_planar_mount(params.cam_in_robot)
+    return run_vo_complete(data_dir, out_dir, config, verbose)
+
+
 def _print_comparison(x_est: np.ndarray, x_gt: np.ndarray, title: str = ""):
     """Printed pose comparison (initialization_test.cpp:27-40 format)."""
     if title:
@@ -544,6 +566,8 @@ def main(argv=None):
     out_dir = argv[2] if len(argv) > 2 else "."
     if cmd == "vo_complete":
         run_vo_complete(data_dir, out_dir)
+    elif cmd == "vo_se2":
+        run_vo_se2(data_dir, out_dir)
     elif cmd == "evaluation":
         run_evaluation(data_dir, out_dir)
     elif cmd == "vo_daknown":

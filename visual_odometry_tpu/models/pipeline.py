@@ -37,7 +37,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import epipolar, matching, picp, se3, triangulation
+from ..ops import epipolar, matching, picp, picp_se2, se3, triangulation
 from ..ops.camera import Camera
 from ..utils.config import VOConfig
 from . import landmark_map
@@ -134,6 +134,12 @@ def initialize(
         camera.camera_matrix, corr.idx1, corr.idx2, corr.valid,
         frame0.points, frame1.points, frame0.mask, frame1.mask,
     )
+    if config.planar:
+        # Planarize the two-view init so the whole trajectory stays in the
+        # conjugated SE(2) subgroup the solver moves in (ops/picp_se2).
+        mount = config.planar_mount()
+        c = jnp.eye(4, dtype=x_init.dtype) if mount is None else jnp.asarray(mount)
+        x_init = se3.inverse(c) @ se3.project_se2(c @ x_init @ se3.inverse(c)) @ c
     tri, ok = triangulation.triangulate_correspondences(
         camera.camera_matrix, x_init, corr.idx1, corr.idx2, corr.valid,
         frame0.points, frame1.points,
@@ -188,17 +194,31 @@ def frame_step(
         solver_cam = camera.with_pose(state.x_curr)
     else:
         solver_cam = camera.with_pose(jnp.eye(4, dtype=world_points.dtype))
-    solved_cam, stats = picp.solve(
-        solver_cam,
-        world_points,
-        measured,
-        solver_weight,
-        config.gn_iterations,
-        kernel_threshold=config.kernel_threshold,
-        damping=config.damping,
-        keep_outliers=config.keep_outliers,
-        tolerance=config.gn_tolerance,
-    )
+    if config.planar:
+        solved_cam, stats = picp_se2.solve_se2(
+            solver_cam,
+            world_points,
+            measured,
+            solver_weight,
+            config.gn_iterations,
+            kernel_threshold=config.kernel_threshold,
+            damping=config.damping,
+            keep_outliers=config.keep_outliers,
+            tolerance=config.gn_tolerance,
+            cam_in_robot=config.planar_mount(),
+        )
+    else:
+        solved_cam, stats = picp.solve(
+            solver_cam,
+            world_points,
+            measured,
+            solver_weight,
+            config.gn_iterations,
+            kernel_threshold=config.kernel_threshold,
+            damping=config.damping,
+            keep_outliers=config.keep_outliers,
+            tolerance=config.gn_tolerance,
+        )
     pose = solved_cam.world_in_camera  # frame k-1 expressed in frame k
 
     # Re-triangulate the pair (prev, curr) in prev-frame coords.

@@ -134,3 +134,32 @@ def skew(v: Array) -> Array:
         ],
         -2,
     )
+
+
+def v2t_se2(v: Array) -> Array:
+    """Planar (x, y, theta) -> (..., 4, 4) SE(3) pose acting in the z=0 plane.
+
+    The SE(2) chart of the reference's ``est_SE2`` branch (README.md:13):
+    translation (x, y, 0) and a pure z-rotation. Coincides with
+    ``v2t_euler([x, y, 0, 0, 0, theta])`` — the Euler chart's z-rotation is
+    exact when the other two angles vanish.
+    """
+    x, y, theta = v[..., 0], v[..., 1], v[..., 2]
+    zeros = jnp.zeros_like(x)
+    t = jnp.stack([x, y, zeros], -1)
+    return pose_from_rt(rotation_z(theta), t)
+
+
+def t2v_se2(pose: Array) -> Array:
+    """(..., 4, 4) planar pose -> (x, y, theta). Inverse of :func:`v2t_se2`."""
+    theta = jnp.arctan2(pose[..., 1, 0], pose[..., 0, 0])
+    return jnp.stack([pose[..., 0, 3], pose[..., 1, 3], theta], -1)
+
+
+def project_se2(pose: Array) -> Array:
+    """Nearest planar pose on the chart: keep (x, y) and the yaw angle.
+
+    Used to planarize the SE(3) two-view initialization when running the
+    SE(2) estimation variant.
+    """
+    return v2t_se2(t2v_se2(pose))

@@ -53,6 +53,30 @@ class VOConfig:
     # --- data association ---
     match_radius: float = 0.1
 
+    # --- estimation group (reference branch est_SE2, README.md:13) ---
+    # planar=True constrains the per-frame solve to SE(2) increments acting
+    # in the robot plane (ops/picp_se2). cam_in_robot is the camera mount
+    # pose as a nested tuple (hashable: the config is a static jit arg);
+    # None = identity mount. Use VOConfig.with_planar_mount() to set it
+    # from a (4, 4) array.
+    planar: bool = False
+    cam_in_robot: "tuple | None" = None
+
+    def planar_mount(self):
+        """The (4, 4) float32 mount matrix, or None."""
+        if self.cam_in_robot is None:
+            return None
+        import numpy as np
+
+        return np.asarray(self.cam_in_robot, np.float32)
+
+    def with_planar_mount(self, cam_in_robot) -> "VOConfig":
+        """Enable SE(2) estimation with the given camera-mount pose."""
+        import numpy as np
+
+        mount = tuple(tuple(float(x) for x in row) for row in np.asarray(cam_in_robot))
+        return self.replace(planar=True, cam_in_robot=mount)
+
     # --- global refinement (no reference counterpart; models/refinement) ---
     # LM/GN bundle-adjustment iterations run over the whole trajectory+map
     # after tracking. 0 disables (reference-parity pipeline).
