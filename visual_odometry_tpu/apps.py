@@ -178,6 +178,26 @@ def run_vo_da_known(
     trajectory = np.asarray(trajectory)
     elapsed = time.perf_counter() - t0
 
+    # Per-frame DA timing -> time_known.txt (vo_daKnown.cpp:127-129,163-164).
+    # The tracking itself fuses DA into one device program, so the timing is
+    # measured on a dedicated per-frame run of the id-matcher.
+    import jax
+    import jax.numpy as jnp
+
+    from .models import pipeline as pl_mod
+    from .utils.profiling import StageTimer
+
+    timer = StageTimer()
+    match_jit = jax.jit(pl_mod.match_by_ids)
+    ids_d = jnp.asarray(seq.ids)
+    mask_d = jnp.asarray(seq.mask)
+    match_jit(ids_d[0], mask_d[0], ids_d[1], mask_d[1]).valid.block_until_ready()
+    for k in range(1, len(trajectory)):
+        with timer.stage("da"):
+            corr = match_jit(ids_d[k - 1], mask_d[k - 1], ids_d[k], mask_d[k])
+            corr.valid.block_until_ready()
+    timer.dump(os.path.join(out_dir, "time_known.txt"), "da")
+
     io.save_trajectory(
         os.path.join(out_dir, "trajectory_est_noWorld.txt"), trajectory, params.cam_in_robot
     )
@@ -580,6 +600,11 @@ def main(argv=None):
         run_compute_corr(data_dir)
     elif cmd == "read_data_test":
         run_read_data_test(data_dir)
+    elif cmd == "plot":
+        from .utils import plots
+
+        for p in plots.plot_all(out_dir if len(argv) > 2 else data_dir):
+            print(f"wrote {p}")
     else:
         print(f"unknown command {cmd!r}")
         return 1
