@@ -88,3 +88,77 @@ def test_transform():
     m2 = landmark_map.transform(m, pose)
     got, _ = landmark_map.compact(m2)
     np.testing.assert_allclose(got, pts + np.array([1, 2, 3], np.float32))
+
+
+def test_merge_stream_equals_iterated_update(rng):
+    """One batched sort-merge == folding update() frame by frame."""
+    import jax.numpy as jnp
+    from visual_odometry_tpu.models import landmark_map as lm
+
+    pool_apps = rng.uniform(-1, 1, (60, 10)).astype(np.float32)
+    frames = []
+    for _ in range(8):
+        ids = rng.choice(60, size=20, replace=False)  # unique keys per frame
+        pts = rng.normal(size=(20, 3)).astype(np.float32)
+        mask = rng.random(20) > 0.2
+        frames.append((pts, pool_apps[ids], mask))
+
+    cap = 48
+    seq_map = lm.LandmarkMap.empty(cap, 10)
+    for pts, apps, mask in frames:
+        seq_map = lm.update(seq_map, jnp.asarray(pts), jnp.asarray(apps), jnp.asarray(mask))
+
+    stream_pts = jnp.asarray(np.concatenate([f[0] for f in frames]))
+    stream_apps = jnp.asarray(np.concatenate([f[1] for f in frames]))
+    stream_mask = jnp.asarray(np.concatenate([f[2] for f in frames]))
+    batch_map = lm.merge_stream(stream_pts, stream_apps, stream_mask, cap)
+
+    assert int(batch_map.count) == int(seq_map.count)
+    np.testing.assert_array_equal(np.asarray(batch_map.valid), np.asarray(seq_map.valid))
+    v = np.asarray(seq_map.valid)
+    np.testing.assert_array_equal(
+        np.asarray(batch_map.appearances)[v], np.asarray(seq_map.appearances)[v]
+    )
+    np.testing.assert_allclose(
+        np.asarray(batch_map.points)[v], np.asarray(seq_map.points)[v], atol=0
+    )
+
+
+def test_merge_stream_capacity_truncation(rng):
+    import jax.numpy as jnp
+    from visual_odometry_tpu.models import landmark_map as lm
+
+    apps = rng.uniform(-1, 1, (30, 10)).astype(np.float32)
+    pts = rng.normal(size=(30, 3)).astype(np.float32)
+    mask = jnp.ones(30, bool)
+    m = lm.merge_stream(jnp.asarray(pts), jnp.asarray(apps), mask, capacity=10)
+    assert int(m.count) == 10
+    # first 10 unique keys survive, in stream order
+    np.testing.assert_array_equal(np.asarray(m.appearances)[:10], apps[:10])
+
+
+def test_merge_stream_intra_frame_duplicate_keeps_last(rng):
+    """Reference semantics: a re-observed key REPLACES the position
+    (PointCloud.h:56-59) even within one batch — one entry, last position."""
+    import jax.numpy as jnp
+    from visual_odometry_tpu.models import landmark_map as lm
+
+    app = rng.uniform(-1, 1, (1, 10)).astype(np.float32)
+    apps = jnp.asarray(np.repeat(app, 3, axis=0))
+    pts = jnp.asarray(np.float32([[1, 0, 0], [2, 0, 0], [3, 0, 0]]))
+    m = lm.merge_stream(pts, apps, jnp.ones(3, bool), capacity=8)
+    assert int(m.count) == 1
+    np.testing.assert_allclose(np.asarray(m.points)[0], [3, 0, 0])
+
+
+def test_merge_stream_negative_zero_keys():
+    import jax.numpy as jnp
+    from visual_odometry_tpu.models import landmark_map as lm
+
+    a = np.zeros((2, 10), np.float32)
+    a[0, 0] = 0.0
+    a[1, 0] = -0.0  # float-equal, bit-different: must merge
+    pts = jnp.asarray(np.float32([[1, 1, 1], [2, 2, 2]]))
+    m = lm.merge_stream(pts, jnp.asarray(a), jnp.ones(2, bool), capacity=4)
+    assert int(m.count) == 1
+    np.testing.assert_allclose(np.asarray(m.points)[0], [2, 2, 2])

@@ -117,3 +117,36 @@ def test_picp_kernel_keep_outliers(rng):
     )
     scale = max(1.0, float(np.abs(np.array(h0)).max()))
     np.testing.assert_allclose(np.array(h_keep) / scale, np.array(h0) / scale, atol=1e-5)
+
+
+def test_solve_fused_matches_xla_solve(rng):
+    """Whole-loop fused kernel (interpret mode) == ops.picp.solve, both
+    fixed-budget and early-exit."""
+    import jax.numpy as jnp
+    from visual_odometry_tpu.ops import picp
+    from visual_odometry_tpu.ops.camera import project_points
+    from visual_odometry_tpu.ops.pallas.picp_kernel import solve_fused
+    from visual_odometry_tpu.utils import synthetic
+
+    world = synthetic.generate_points3d(rng, 160)
+    x_gt = synthetic.generate_pose(rng)
+    cam = synthetic.default_camera(np.eye(4, dtype=np.float32))
+    meas, v = project_points(synthetic.default_camera(x_gt), jnp.asarray(world))
+    w = v.astype(jnp.float32)
+    cam_params = jnp.stack([cam.z_near, cam.z_far, cam.cols, cam.rows])
+
+    for tol in (0.0, 1e-12):
+        solved, st = picp.solve(
+            cam, jnp.asarray(world), meas, w, 50,
+            kernel_threshold=10000.0, tolerance=tol, backend="xla",
+        )
+        pose, st2 = solve_fused(
+            cam.camera_matrix, cam.world_in_camera, cam_params,
+            jnp.asarray(world), meas, w, 50,
+            jnp.float32(10000.0), jnp.float32(1.0),
+            jnp.float32(tol if tol > 0 else -1.0), interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pose), np.asarray(solved.world_in_camera), atol=5e-5
+        )
+        assert int(st.num_inliers) == int(st2.num_inliers)

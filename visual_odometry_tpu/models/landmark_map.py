@@ -98,3 +98,87 @@ def compact(map_state: LandmarkMap) -> Tuple[Array, Array]:
 
     valid = np.asarray(map_state.valid)
     return np.asarray(map_state.points)[valid], np.asarray(map_state.appearances)[valid]
+
+
+def merge_stream(
+    points: Array, appearances: Array, mask: Array, capacity: int
+) -> LandmarkMap:
+    """Fold a TIME-ORDERED observation stream into a map in ONE batched pass.
+
+    Equivalent to iterating :func:`update` over the stream (for the
+    unique-key-per-frame data the tracker produces), but O(1) in the number
+    of frames: a scatter-heavy sequential merge becomes sort -> group ->
+    select, the canonical TPU transformation for key-wise aggregation.
+
+      * group: rows with bit-identical appearance keys (exact float
+        equality, PointCloud.h:56 — -0.0 is canonicalized to +0.0 first so
+        bit equality == float equality on real data);
+      * per group, the FINAL position is the LAST observation's (each
+        re-observation replaces the stored position, PointCloud.h:56-59);
+      * groups enter the map in FIRST-observation order (append order,
+        PointCloud.h:61-63), truncated at ``capacity``.
+
+    Args:
+      points: (T, 3) stream of observed positions, time-ordered.
+      appearances: (T, D) appearance keys.
+      mask: (T,) live rows.
+      capacity: map capacity (static).
+    """
+    import jax
+
+    t, d = appearances.shape
+    dtype = points.dtype
+    big = jnp.int32(2**31 - 1)
+
+    apps_c = appearances + jnp.zeros((), dtype)  # -0.0 -> +0.0
+    keys = jax.lax.bitcast_convert_type(apps_c, jnp.int32)  # (T, D)
+    keys = jnp.where(mask[:, None], keys, big)
+    time = jnp.where(mask, jnp.arange(t, dtype=jnp.int32), jnp.int32(t))
+
+    # Sort 1: group identical keys, time-ascending within each group.
+    ops = tuple(keys[:, i] for i in range(d)) + (
+        time, points[:, 0], points[:, 1], points[:, 2], mask,
+    )
+    s = jax.lax.sort(ops, num_keys=d + 1)
+    skeys = jnp.stack(s[:d], axis=1)
+    stime = s[d]
+    spts = jnp.stack(s[d + 1 : d + 4], axis=1)
+    smask = s[d + 4]
+
+    new_group = jnp.concatenate(
+        [jnp.ones((1,), bool), jnp.any(skeys[1:] != skeys[:-1], axis=1)]
+    )
+    group_id = jnp.cumsum(new_group.astype(jnp.int32)) - 1
+    idx = jnp.arange(t, dtype=jnp.int32)
+    last_of_group = jax.ops.segment_max(idx, group_id, num_segments=t)
+    final_pts = spts[last_of_group[group_id]]  # per row: its group's final position
+
+    is_entry = new_group & smask  # one row per real landmark (the first obs)
+    order_key = jnp.where(is_entry, stime, jnp.int32(t + 1))
+
+    # Sort 2: entries by first-observation time = the reference append order.
+    ops2 = (order_key,) + tuple(final_pts[:, i] for i in range(3)) + tuple(
+        skeys[:, i] for i in range(d)
+    ) + (is_entry,)
+    s2 = jax.lax.sort(ops2, num_keys=1)
+    pts_out = jnp.stack(s2[1:4], axis=1)
+    keys_out = jnp.stack(s2[4 : 4 + d], axis=1)
+    entry_out = s2[4 + d]
+
+    if t >= capacity:
+        pts_out = pts_out[:capacity]
+        keys_out = keys_out[:capacity]
+        entry_out = entry_out[:capacity]
+    else:
+        pad = capacity - t
+        pts_out = jnp.pad(pts_out, ((0, pad), (0, 0)))
+        keys_out = jnp.pad(keys_out, ((0, pad), (0, 0)), constant_values=big)
+        entry_out = jnp.pad(entry_out, (0, pad))
+
+    apps_out = jax.lax.bitcast_convert_type(keys_out, dtype)
+    apps_out = jnp.where(entry_out[:, None], apps_out, jnp.asarray(jnp.inf, dtype))
+    pts_out = jnp.where(entry_out[:, None], pts_out, jnp.zeros((), dtype))
+    count = jnp.sum(entry_out.astype(jnp.int32))
+    return LandmarkMap(
+        points=pts_out, appearances=apps_out, valid=entry_out, count=count
+    )

@@ -73,6 +73,9 @@ class FrameOutput(NamedTuple):
     num_solver_corr: Array  # () int32 correspondences seen by PICP
     num_inliers: Array    # () int32 PICP inliers at the last GN round
     chi_inliers: Array    # () float32
+    tri_points: Array     # (S, 3) this frame's triangulation, prev-frame coords
+    tri_apps: Array       # (S, D) triangulated appearances (landmark keys)
+    tri_valid: Array      # (S,) bool
 
 
 def match_by_ids(
@@ -170,10 +173,25 @@ def frame_step(
     state: VOState,
     frame: FrameData,
     use_known_da: bool = False,
+    corr: "matching.Correspondences | None" = None,
+    merge_map: bool = True,
 ) -> Tuple[VOState, FrameOutput]:
-    """Track one new frame (the body of vo_complete.cpp:150-179)."""
+    """Track one new frame (the body of vo_complete.cpp:150-179).
+
+    ``corr`` lets callers supply precomputed (ref, frame) correspondences:
+    matching depends only on the two frames' appearances — not on the
+    carried pose — so the sequence runners hoist it out of the sequential
+    scan into one batched vmap over all consecutive pairs (a single MXU
+    matmul batch instead of F-2 small sequential kernel chains).
+
+    ``merge_map=False`` skips the in-scan landmark-map merge; the map never
+    feeds back into tracking, so the sequence runners instead emit each
+    frame's triangulation (FrameOutput.tri_*) and fold the whole stream
+    with ONE post-scan ``landmark_map.merge_stream`` pass.
+    """
     s = config.n_slots
-    corr = _match(config, use_known_da, state.ref, frame)
+    if corr is None:
+        corr = _match(config, use_known_da, state.ref, frame)
 
     # Join image-image matches with the previous triangulation via the
     # lookup (replaces the O(N*M) scan of vo_complete.cpp:52-66).
@@ -218,6 +236,7 @@ def frame_step(
             damping=config.damping,
             keep_outliers=config.keep_outliers,
             tolerance=config.gn_tolerance,
+            backend=config.solver_backend,
         )
     pose = solved_cam.world_in_camera  # frame k-1 expressed in frame k
 
@@ -228,9 +247,12 @@ def frame_step(
     )
     tri_apps = frame.appearances[corr.idx2]
 
-    # Map merge in frame-0 coords (vo_complete.cpp:175).
-    tri_world = se3.transform_points(state.history, tri)
-    new_map = landmark_map.update(state.map, tri_world, tri_apps, ok)
+    if merge_map:
+        # Map merge in frame-0 coords (vo_complete.cpp:175).
+        tri_world = se3.transform_points(state.history, tri)
+        new_map = landmark_map.update(state.map, tri_world, tri_apps, ok)
+    else:
+        new_map = state.map
 
     new_state = VOState(
         ref=frame,
@@ -247,8 +269,28 @@ def frame_step(
         num_solver_corr=jnp.sum(solver_weight).astype(jnp.int32),
         num_inliers=stats.num_inliers,
         chi_inliers=stats.chi_inliers,
+        tri_points=tri,
+        tri_apps=tri_apps,
+        tri_valid=ok,
     )
     return new_state, out
+
+
+def _batched_match(
+    config: VOConfig, use_known_da: bool, frames: FrameData, prev: FrameData
+) -> matching.Correspondences:
+    """All consecutive-pair correspondences at once.
+
+    ``prev`` holds frames k-1 and ``frames`` holds frames k, stacked along
+    the leading axis; the result feeds the scan as xs. One batched gram
+    matmul replaces the per-step matcher (vo_complete.cpp:156's per-frame
+    kd-tree build+query, hoisted because DA is pose-independent).
+    """
+    if use_known_da:
+        return jax.vmap(match_by_ids)(prev.ids, prev.mask, frames.ids, frames.mask)
+    return jax.vmap(
+        functools.partial(matching.match_appearances, radius=config.match_radius)
+    )(prev.appearances, prev.mask, frames.appearances, frames.mask)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "use_known_da"))
@@ -266,16 +308,44 @@ def _run(
     state, x_init = initialize(camera, config, f0, f1, use_known_da)
 
     rest = FrameData(points[2:], appearances[2:], masks[2:], ids[2:])
+    prev = FrameData(points[1:-1], appearances[1:-1], masks[1:-1], ids[1:-1])
+    corr_all = _batched_match(config, use_known_da, rest, prev)
 
-    def body(carry, frame):
-        return frame_step(camera, config, carry, frame, use_known_da)
+    init_map = state.map
 
-    state, outs = jax.lax.scan(body, state, rest)
+    def body(carry, xs):
+        frame, corr = xs
+        return frame_step(
+            camera, config, carry, frame, use_known_da, corr=corr, merge_map=False
+        )
+
+    state, outs = jax.lax.scan(body, state, (rest, corr_all))
+
+    # Landmark-map merge, hoisted out of the scan: the map never feeds back
+    # into tracking (vo_complete.cpp:175 only accumulates it), so the
+    # per-frame scatter merge becomes (a) one associative_scan for the
+    # frame->frame-0 chains (vo_complete.cpp:176), (b) one batched point
+    # transform, (c) one sort-based merge over the whole observation stream.
+    inv_poses = jax.vmap(se3.inverse)(outs.pose)
+    chains = jax.lax.associative_scan(
+        jnp.matmul,
+        jnp.concatenate([se3.inverse(x_init)[None], inv_poses[:-1]], axis=0),
+    )  # chains[j] maps frame j+1 coords -> frame 0 coords
+    tri_world = jax.vmap(se3.transform_points)(chains, outs.tri_points)
+    d = appearances.shape[-1]
+    stream_pts = jnp.concatenate([init_map.points, tri_world.reshape(-1, 3)])
+    stream_apps = jnp.concatenate(
+        [init_map.appearances, outs.tri_apps.reshape(-1, d)]
+    )
+    stream_mask = jnp.concatenate([init_map.valid, outs.tri_valid.reshape(-1)])
+    final_map = landmark_map.merge_stream(
+        stream_pts, stream_apps, stream_mask, config.map_capacity
+    )
 
     trajectory = jnp.concatenate(
         [jnp.eye(4, dtype=points.dtype)[None], x_init[None], outs.pose], axis=0
     )
-    return trajectory, state.map, outs
+    return trajectory, final_map, outs
 
 
 def run_sequence(
@@ -313,11 +383,17 @@ def continue_sequence(
     complete pipeline state (utils/checkpoint.py round-trips it).
     """
     frames = FrameData(points, appearances, masks, ids)
+    # Previous-frame stack: the carried reference frame, then frames 0..F'-2.
+    prev = jax.tree.map(
+        lambda r, xs: jnp.concatenate([r[None], xs[:-1]], axis=0), state.ref, frames
+    )
+    corr_all = _batched_match(config, use_known_da, frames, prev)
 
-    def body(carry, frame):
-        return frame_step(camera, config, carry, frame, use_known_da)
+    def body(carry, xs):
+        frame, corr = xs
+        return frame_step(camera, config, carry, frame, use_known_da, corr=corr)
 
-    return jax.lax.scan(body, state, frames)
+    return jax.lax.scan(body, state, (frames, corr_all))
 
 
 def run_sequence_known_da(

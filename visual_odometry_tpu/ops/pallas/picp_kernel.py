@@ -191,3 +191,267 @@ def linearize_pallas(
         num_inliers=out[7, 2].astype(jnp.int32),
     )
     return h, b, stats
+
+
+# ---------------------------------------------------------------------------
+# Whole-solve kernel: the ENTIRE Gauss-Newton loop in one Pallas program.
+#
+# The op-level profile of the tracking pipeline shows it is dispatch-bound:
+# each GN round in the XLA path issues ~45 small kernels (projection,
+# Jacobian assembly, contraction, LU custom-calls, Euler update), and at
+# ~600 rounds per sequence the fixed per-op sequencing overhead dominates
+# wall time (device busy 13.8 ms of a 46 ms program). Here the whole
+# iteration loop runs inside ONE kernel: per-point work on (N,) lane
+# vectors, the 6x6 normal system as 30 lane reductions, the solve as a
+# scalar-form 3x3-block Schur inverse (adjugate 3x3 inverses — no custom
+# calls), and the Euler-chart update (utils.h:73-78) from scalar trig.
+# Early exit freezes the carried pose once ||dx||^2 <= tolerance, which is
+# equivalent to the host while_loop semantics of ``ops.picp.solve``.
+# ---------------------------------------------------------------------------
+
+
+def _inv3(m):
+    """Scalar-form 3x3 inverse via adjugate. m is a 9-tuple, row-major."""
+    a, b, c, d, e, f, g, h, i = m
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    inv_det = 1.0 / det
+    return tuple(x * inv_det for x in (A, B, C, D, E, F, G, H, I))
+
+
+def _mat3mul(m, n):
+    """Row-major 9-tuple 3x3 product m @ n."""
+    return (
+        m[0] * n[0] + m[1] * n[3] + m[2] * n[6],
+        m[0] * n[1] + m[1] * n[4] + m[2] * n[7],
+        m[0] * n[2] + m[1] * n[5] + m[2] * n[8],
+        m[3] * n[0] + m[4] * n[3] + m[5] * n[6],
+        m[3] * n[1] + m[4] * n[4] + m[5] * n[7],
+        m[3] * n[2] + m[4] * n[5] + m[5] * n[8],
+        m[6] * n[0] + m[7] * n[3] + m[8] * n[6],
+        m[6] * n[1] + m[7] * n[4] + m[8] * n[7],
+        m[6] * n[2] + m[7] * n[5] + m[8] * n[8],
+    )
+
+
+def _mat3vec(m, v):
+    return (
+        m[0] * v[0] + m[1] * v[1] + m[2] * v[2],
+        m[3] * v[0] + m[4] * v[1] + m[5] * v[2],
+        m[6] * v[0] + m[7] * v[1] + m[8] * v[2],
+    )
+
+
+def _transpose3(m):
+    return (m[0], m[3], m[6], m[1], m[4], m[7], m[2], m[5], m[8])
+
+
+def _solve_kernel(num_iterations, scal_ref, world_ref, meas_ref, w_ref, out_ref):
+    z_near, z_far, cols, rows = scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3]
+    kt, keep_out, damping, tol = scal_ref[4], scal_ref[5], scal_ref[6], scal_ref[7]
+    k = tuple(scal_ref[8 + i] for i in range(9))           # K row-major
+    pose0 = tuple(scal_ref[17 + i] for i in range(12))     # [R|t] row-major 3x4
+
+    wx = world_ref[0, :]
+    wy = world_ref[1, :]
+    wz = world_ref[2, :]
+    mx = meas_ref[0, :]
+    my = meas_ref[1, :]
+    wgt_in = w_ref[0, :]
+
+    def body(_, carry):
+        (r00, r01, r02, t0, r10, r11, r12, t1, r20, r21, r22, t2,
+         active, chi_in, chi_out, n_in) = carry
+
+        # --- linearize (picp_solver.cpp:25-96), all on lane vectors ---
+        px = r00 * wx + r01 * wy + r02 * wz + t0
+        py = r10 * wx + r11 * wy + r12 * wz + t1
+        pz = r20 * wx + r21 * wy + r22 * wz + t2
+        hx = k[0] * px + k[1] * py + k[2] * pz
+        hy = k[3] * px + k[4] * py + k[5] * pz
+        hz = k[6] * px + k[7] * py + k[8] * pz
+        iz = 1.0 / jnp.where(hz == 0.0, 1.0, hz)
+        u = hx * iz
+        v = hy * iz
+        valid = (
+            (pz <= z_far) & (pz >= z_near)
+            & (u >= 0.0) & (u <= cols - 1.0)
+            & (v >= 0.0) & (v <= rows - 1.0)
+        )
+        ex = u - mx
+        ey = v - my
+        chi = ex * ex + ey * ey
+        is_out = chi > kt
+        lam = jnp.where(is_out, jnp.sqrt(kt / jnp.maximum(chi, 1e-30)), 1.0)
+        live = wgt_in * valid.astype(jnp.float32)
+        w = live * jnp.where(is_out, keep_out, 1.0) * lam
+
+        iz2 = iz * iz
+        a00 = k[0] * iz - k[6] * hx * iz2
+        a01 = k[1] * iz - k[7] * hx * iz2
+        a02 = k[2] * iz - k[8] * hx * iz2
+        a10 = k[3] * iz - k[6] * hy * iz2
+        a11 = k[4] * iz - k[7] * hy * iz2
+        a12 = k[5] * iz - k[8] * hy * iz2
+        jx = (
+            a00, a01, a02,
+            a01 * (-pz) + a02 * py, a00 * pz + a02 * (-px), a00 * (-py) + a01 * px,
+        )
+        jy = (
+            a10, a11, a12,
+            a11 * (-pz) + a12 * py, a10 * pz + a12 * (-px), a10 * (-py) + a11 * px,
+        )
+
+        # H (21 unique entries) and b as weighted lane reductions.
+        hm = {}
+        for i in range(6):
+            for j in range(i, 6):
+                hm[(i, j)] = jnp.sum(w * (jx[i] * jx[j] + jy[i] * jy[j]))
+        bv = tuple(jnp.sum(w * (jx[i] * ex + jy[i] * ey)) for i in range(6))
+
+        inl = live * (1.0 - is_out.astype(jnp.float32))
+        new_chi_in = jnp.sum(chi * inl)
+        new_chi_out = jnp.sum(chi * live * is_out.astype(jnp.float32))
+        new_n_in = jnp.sum(inl)
+
+        # --- damped 6x6 solve via 3x3-block Schur complement ---
+        A = (hm[(0, 0)] + damping, hm[(0, 1)], hm[(0, 2)],
+             hm[(0, 1)], hm[(1, 1)] + damping, hm[(1, 2)],
+             hm[(0, 2)], hm[(1, 2)], hm[(2, 2)] + damping)
+        B = (hm[(0, 3)], hm[(0, 4)], hm[(0, 5)],
+             hm[(1, 3)], hm[(1, 4)], hm[(1, 5)],
+             hm[(2, 3)], hm[(2, 4)], hm[(2, 5)])
+        D = (hm[(3, 3)] + damping, hm[(3, 4)], hm[(3, 5)],
+             hm[(3, 4)], hm[(4, 4)] + damping, hm[(4, 5)],
+             hm[(3, 5)], hm[(4, 5)], hm[(5, 5)] + damping)
+        r1 = (-bv[0], -bv[1], -bv[2])
+        r2 = (-bv[3], -bv[4], -bv[5])
+        Ai = _inv3(A)
+        Bt = _transpose3(B)
+        S = tuple(d - s for d, s in zip(D, _mat3mul(Bt, _mat3mul(Ai, B))))
+        Si = _inv3(S)
+        t_r2 = tuple(x - y for x, y in zip(r2, _mat3vec(Bt, _mat3vec(Ai, r1))))
+        x2 = _mat3vec(Si, t_r2)
+        t_r1 = tuple(x - y for x, y in zip(r1, _mat3vec(B, x2)))
+        x1 = _mat3vec(Ai, t_r1)
+        dx = x1 + x2
+        dx2 = sum(d * d for d in dx)
+
+        # --- Euler-chart update X <- v2tEuler(dx) X (utils.h:73-78) ---
+        sa, ca = jnp.sin(dx[3]), jnp.cos(dx[3])
+        sb, cb = jnp.sin(dx[4]), jnp.cos(dx[4])
+        sc, cc = jnp.sin(dx[5]), jnp.cos(dx[5])
+        rd = (
+            cb * cc, -cb * sc, sb,
+            ca * sc + sa * sb * cc, ca * cc - sa * sb * sc, -sa * cb,
+            sa * sc - ca * sb * cc, sa * cc + ca * sb * sc, ca * cb,
+        )
+        r_old = (r00, r01, r02, r10, r11, r12, r20, r21, r22)
+        r_new = _mat3mul(rd, r_old)
+        t_new = tuple(a + b for a, b in zip(_mat3vec(rd, (t0, t1, t2)),
+                                            (dx[0], dx[1], dx[2])))
+
+        # --- freeze once converged (while_loop-equivalent early exit) ---
+        def sel(new, old):
+            return jnp.where(active > 0.5, new, old)
+
+        out = (
+            sel(r_new[0], r00), sel(r_new[1], r01), sel(r_new[2], r02), sel(t_new[0], t0),
+            sel(r_new[3], r10), sel(r_new[4], r11), sel(r_new[5], r12), sel(t_new[1], t1),
+            sel(r_new[6], r20), sel(r_new[7], r21), sel(r_new[8], r22), sel(t_new[2], t2),
+            jnp.where(active > 0.5, (dx2 > tol).astype(jnp.float32), 0.0),
+            sel(new_chi_in, chi_in), sel(new_chi_out, chi_out), sel(new_n_in, n_in),
+        )
+        return out
+
+    init = pose0 + (jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0))
+    final = jax.lax.fori_loop(0, num_iterations, body, init)
+
+    row0 = jnp.stack(final[0:4])
+    row1 = jnp.stack(final[4:8])
+    row2 = jnp.stack(final[8:12])
+    row3 = jnp.stack(final[12:16])
+    out_ref[0, :] = jnp.pad(row0, (0, 124))
+    out_ref[1, :] = jnp.pad(row1, (0, 124))
+    out_ref[2, :] = jnp.pad(row2, (0, 124))
+    out_ref[3, :] = jnp.pad(row3, (0, 124))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_iterations", "keep_outliers", "interpret")
+)
+def solve_fused(
+    camera_matrix: Array,     # (3, 3)
+    world_in_camera: Array,   # (4, 4) start pose
+    cam_params: Array,        # (4,) z_near, z_far, cols, rows
+    world_points: Array,      # (N, 3)
+    measured_points: Array,   # (N, 2)
+    weights: Array,           # (N,)
+    num_iterations: int,
+    kernel_threshold: Array,
+    damping: Array,
+    tolerance: Array,         # pass < 0 for the fixed-budget (no-exit) loop
+    keep_outliers: bool = False,
+    interpret: bool = False,
+) -> Tuple[Array, PICPStats]:
+    """Whole PICP solve as one kernel. Returns (pose (4,4), stats).
+
+    Drop-in for ``ops.picp.solve``'s loop (picp_solver.cpp:98-112 iterated);
+    the single-kernel form eliminates the ~45-op-per-round dispatch overhead
+    of the XLA path. N is padded to a lane multiple; the whole point set
+    must fit one VMEM block (N <= ~8192 — far above the tracker's slot
+    counts).
+    """
+    n = world_points.shape[0]
+    n_pad = max(-(-n // 128) * 128, 128)
+    wp = jnp.pad(world_points, ((0, n_pad - n), (0, 0))).T
+    mp = jnp.pad(measured_points, ((0, n_pad - n), (0, 0))).T
+    w = jnp.pad(weights, (0, n_pad - n)).reshape(1, n_pad)
+
+    scal = jnp.concatenate(
+        [
+            cam_params.astype(jnp.float32),
+            jnp.stack(
+                [
+                    jnp.asarray(kernel_threshold, jnp.float32),
+                    jnp.asarray(1.0 if keep_outliers else 0.0, jnp.float32),
+                    jnp.asarray(damping, jnp.float32),
+                    jnp.asarray(tolerance, jnp.float32),
+                ]
+            ),
+            camera_matrix.reshape(9).astype(jnp.float32),
+            world_in_camera[:3, :4].reshape(12).astype(jnp.float32),
+        ]
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_solve_kernel, num_iterations),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, n_pad), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, n_pad), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad), lambda: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        interpret=interpret,
+    )(scal, wp, mp, w)
+
+    pose = jnp.eye(4, dtype=jnp.float32)
+    pose = pose.at[:3, :4].set(
+        jnp.stack([out[0, 0:4], out[1, 0:4], out[2, 0:4]])
+    )
+    stats = PICPStats(
+        chi_inliers=out[3, 1],
+        chi_outliers=out[3, 2],
+        num_inliers=out[3, 3].astype(jnp.int32),
+    )
+    return pose, stats

@@ -149,6 +149,7 @@ def solve(
     damping: float = 1.0,
     keep_outliers: bool = False,
     tolerance: float = 0.0,
+    backend: str = "auto",
 ) -> Tuple[Camera, PICPStats]:
     """Run up to ``num_iterations`` GN rounds as one on-device loop.
 
@@ -162,7 +163,40 @@ def solve(
 
     ``tolerance == 0`` runs exactly ``num_iterations`` rounds (bit-parity
     with the reference's fixed budget).
+
+    ``backend``: "pallas" runs the whole loop as ONE fused kernel
+    (ops/pallas/picp_kernel.solve_fused — eliminates the ~45-op-per-round
+    dispatch overhead that dominates tracking wall time), "xla" the plain
+    loop below, "auto" picks pallas on TPU and xla elsewhere.
     """
+    # Dead correspondence slots may carry garbage (failed triangulations can
+    # be NaN/inf); 0 * NaN = NaN would poison the H/b reductions in either
+    # backend, so sanitize masked-out inputs once up front.
+    live = weights > 0.0
+    world_points = jnp.where(live[:, None], world_points, 1.0)
+    measured_points = jnp.where(live[:, None], measured_points, 0.0)
+
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from .pallas.picp_kernel import solve_fused
+
+        cam_params = jnp.stack([camera.z_near, camera.z_far, camera.cols, camera.rows])
+        pose, stats = solve_fused(
+            camera.camera_matrix,
+            camera.world_in_camera,
+            cam_params,
+            world_points,
+            measured_points,
+            weights,
+            num_iterations,
+            jnp.asarray(kernel_threshold, jnp.float32),
+            jnp.asarray(damping, jnp.float32),
+            jnp.asarray(tolerance if tolerance > 0.0 else -1.0, jnp.float32),
+            keep_outliers=keep_outliers,
+        )
+        return camera.with_pose(pose), stats
+
     kt = jnp.asarray(kernel_threshold, world_points.dtype)
     dp = jnp.asarray(damping, world_points.dtype)
 

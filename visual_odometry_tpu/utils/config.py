@@ -85,6 +85,10 @@ class VOConfig:
 
     # --- numerics ---
     dtype: str = "float32"
+    # PICP solver backend: "pallas" = whole GN loop fused into one kernel
+    # (ops/pallas/picp_kernel.solve_fused), "xla" = plain lax loop, "auto" =
+    # pallas on TPU / xla elsewhere.
+    solver_backend: str = "auto"
 
     def replace(self, **kw) -> "VOConfig":
         return dataclasses.replace(self, **kw)
