@@ -34,7 +34,11 @@ import jax.numpy as jnp
 
 Array = jnp.ndarray
 
-_BIG = jnp.float32(3.4e38)
+# Python literal, NOT jnp.float32(...): a module-level device scalar becomes
+# a runtime operand of every program that captures it, which blocks XLA from
+# folding the masking select into the argmin fusion (measured 15x slower on
+# the batched pair matcher).
+_BIG = 3.4e38
 
 
 class Correspondences(NamedTuple):

@@ -52,7 +52,7 @@ from . import stats
 
 Array = jnp.ndarray
 
-_BIG = jnp.float32(3.4e38)
+_BIG = 3.4e38  # Python literal: a module-level device scalar blocks XLA constant folding
 
 
 class PCATree(NamedTuple):

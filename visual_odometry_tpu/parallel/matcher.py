@@ -27,7 +27,7 @@ from ..ops.matching import pairwise_sq_dists
 
 Array = jnp.ndarray
 
-_BIG = jnp.float32(3.4e38)
+_BIG = 3.4e38  # Python literal: a module-level device scalar blocks XLA constant folding
 
 
 def _local_top1(db: Array, db_mask: Array, queries: Array, q_mask: Array):
