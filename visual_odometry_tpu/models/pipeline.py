@@ -313,13 +313,66 @@ def _run(
 
     init_map = state.map
 
-    def body(carry, xs):
-        frame, corr = xs
-        return frame_step(
-            camera, config, carry, frame, use_known_da, corr=corr, merge_map=False
+    backend = config.scan_backend
+    if backend == "auto":
+        backend = (
+            "fused"
+            if (not config.planar and jax.default_backend() == "tpu")
+            else "xla"
         )
 
-    state, outs = jax.lax.scan(body, state, (rest, corr_all))
+    if backend == "fused":
+        # The whole frame loop as ONE kernel launch (ops/pallas/frame_kernel):
+        # the scan form costs ~38 device kernels per frame in sequencing
+        # overhead alone. Pose-independent outputs (appearance gathers, match
+        # counts) are computed here, batched.
+        from ..ops.pallas import frame_kernel
+
+        cam_params = jnp.stack(
+            [camera.z_near, camera.z_far, camera.cols, camera.rows]
+        )
+        poses, tri_all, tri_ok_all, solver_stats = frame_kernel.track_frames_fused(
+            camera.camera_matrix,
+            cam_params,
+            state.x_curr,
+            state.point_lookup,
+            state.tri_points,
+            state.tri_valid,
+            corr_all.idx1,
+            corr_all.idx2,
+            corr_all.valid,
+            prev.points,
+            rest.points,
+            config.gn_iterations,
+            jnp.asarray(config.kernel_threshold, jnp.float32),
+            jnp.asarray(config.damping, jnp.float32),
+            jnp.asarray(
+                config.gn_tolerance if config.gn_tolerance > 0.0 else -1.0,
+                jnp.float32,
+            ),
+            keep_outliers=config.keep_outliers,
+            warm_start=config.warm_start,
+        )
+        tri_apps_all = jax.vmap(lambda a, i: a[i])(rest.appearances, corr_all.idx2)
+        outs = FrameOutput(
+            pose=poses,
+            num_matches=jnp.sum(corr_all.valid.astype(jnp.int32), axis=1),
+            num_solver_corr=solver_stats[:, 3].astype(jnp.int32),
+            num_inliers=solver_stats[:, 2].astype(jnp.int32),
+            chi_inliers=solver_stats[:, 0],
+            tri_points=tri_all,
+            tri_apps=tri_apps_all,
+            tri_valid=tri_ok_all,
+        )
+    else:
+
+        def body(carry, xs):
+            frame, corr = xs
+            return frame_step(
+                camera, config, carry, frame, use_known_da, corr=corr, merge_map=False
+            )
+
+        state, outs = jax.lax.scan(body, state, (rest, corr_all))
 
     # Landmark-map merge, hoisted out of the scan: the map never feeds back
     # into tracking (vo_complete.cpp:175 only accumulates it), so the

@@ -1,0 +1,311 @@
+"""The ENTIRE per-frame tracking step as one Pallas kernel, grid over frames.
+
+The scan form of the pipeline (models/pipeline._run) compiles to ~38 device
+kernels per frame (gathers, the solver custom-call, triangulation fusions,
+scatter updates); at 119 sequential frames the per-kernel sequencing
+overhead dominates the program (~4 ms of a 5.7 ms trace). Here the whole
+frame loop — lookup-join, Gauss-Newton PICP, mid-point triangulation and
+the first-wins lookup scatter — runs inside ONE kernel launched once, with
+a sequential TPU grid over frames and the carried state (pose, previous
+triangulation, measurement->slot lookup) living in VMEM/SMEM scratch that
+persists across grid steps.
+
+Reference semantics reproduced (same contracts as models/pipeline.frame_step,
+citations therein): the join of vo_complete.cpp:52-66, the solver of
+picp_solver.cpp:25-112, the triangulation of utils.cpp:36-134 and the
+query-order first-wins correspondence re-encoding of utils.cpp:98.
+
+TPU-native formulation notes:
+  * All per-correspondence data live on the 128-lane axis as (R, S) rows.
+  * Gathers ``src[idx]`` become one-hot matmuls: ``oh[s, j] = (idx[j] == s)``
+    built from a sublane iota, then ``src_rows @ oh`` on the MXU — several
+    gathers of the same index vector share one matmul by stacking rows.
+    Dots run at HIGHEST precision: a bf16 pass would round the *gathered
+    values* (pixel coords are O(600)).
+  * The scatter-min that rebuilds the lookup is a lane-min over a masked
+    (slot, target) value matrix; the result is carried as a (S, 1) COLUMN,
+    which is exactly the orientation the next frame's gather contraction
+    wants (no transposes anywhere).
+  * The GN loop is the shared ``picp_kernel.gn_loop`` early-exit while_loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .picp_kernel import _inv3, _mat3mul, _mat3vec, _transpose3, gn_loop
+
+Array = jnp.ndarray
+
+_HIGH = jax.lax.Precision.HIGHEST
+_BIG = 3.4e38
+# Rays closer to parallel than this are rejected (ops/triangulation._DET_EPS).
+_DET_EPS = 1e-12
+
+
+def _onehot(idx_row: Array, s: int) -> Array:
+    """(1, S) f32 index row -> (S, S) one-hot with oh[s, j] = (idx[j] == s)."""
+    sub = jax.lax.broadcasted_iota(jnp.float32, (s, s), 0)
+    return (sub == idx_row).astype(jnp.float32)
+
+
+def _gather(rows: Array, oh: Array) -> Array:
+    """(R, S) @ (S, S) one-hot -> (R, S) gathered rows, exact f32."""
+    return jax.lax.dot_general(
+        rows, oh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HIGH,
+    )
+
+
+def _kernel(
+    num_iterations,
+    scal_ref,       # SMEM: params + K + iK + init pose
+    corr_ref,       # (3, S): idx1, idx2, valid            [frame i]
+    prev_ref,       # (2, S): prev-frame pixel coords       [frame i]
+    cur_ref,        # (2, S): current-frame pixel coords    [frame i]
+    init_lut_ref,   # (S, 1): initial lookup column (f32, -1 = none)
+    init_tri_ref,   # (4, S): initial tri x/y/z/ok rows
+    out_ref,        # (8, S): pose row, stats row, tri x/y/z/ok rows
+    lut_c,          # scratch (S, 1)
+    tri_c,          # scratch (4, S): x, y, z, ok
+    pose_c,         # scratch SMEM (12,)
+):
+    i = pl.program_id(0)
+    s = corr_ref.shape[1]
+
+    z_near, z_far, cols, rows = scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3]
+    kt, keep_out, damping, tol = scal_ref[4], scal_ref[5], scal_ref[6], scal_ref[7]
+    warm = scal_ref[8]
+    k = tuple(scal_ref[9 + j] for j in range(9))    # K row-major
+    ik = tuple(scal_ref[18 + j] for j in range(9))  # K^-1 row-major
+
+    @pl.when(i == 0)
+    def _():
+        lut_c[:, :] = init_lut_ref[:, :]
+        tri_c[:, :] = init_tri_ref[:, :]
+        for j in range(12):
+            pose_c[j] = scal_ref[27 + j]
+
+    idx1 = corr_ref[0, :]
+    idx2 = corr_ref[1, :]
+    cvalid = corr_ref[2, :]
+
+    pose = tuple(pose_c[j] for j in range(12))  # frame k-1 in frame k (x_curr)
+
+    # ---- lookup-join (vo_complete.cpp:52-66 / pipeline.frame_step) ----
+    # tri_in_prev = x_curr * tri  (vo_complete.cpp:159), rows (3, S).
+    tx, ty, tz = tri_c[0, :], tri_c[1, :], tri_c[2, :]
+    tok = tri_c[3, :]
+    px = pose[0] * tx + pose[1] * ty + pose[2] * tz + pose[3]
+    py = pose[4] * tx + pose[5] * ty + pose[6] * tz + pose[7]
+    pz = pose[8] * tx + pose[9] * ty + pose[10] * tz + pose[11]
+
+    oh1 = _onehot(idx1.reshape(1, s), s)
+    # lookup[idx1]: the carried column broadcast against the one-hot, folded
+    # with a sublane reduction (exact — one live element per column).
+    world_slot = jnp.sum(lut_c[:, :] * oh1, axis=0)
+    has_world = (cvalid > 0.5) & (world_slot >= 0.0)
+    safe_slot = jnp.where(has_world, world_slot, 0.0)
+
+    ohs = _onehot(safe_slot.reshape(1, s), s)
+    g = _gather(jnp.stack([px, py, pz, tok]), ohs)      # (4, S)
+    wx, wy, wz, sok = g[0, :], g[1, :], g[2, :], g[3, :]
+    weight = has_world.astype(jnp.float32) * sok
+
+    oh2 = _onehot(idx2.reshape(1, s), s)
+    mcur = _gather(cur_ref[:, :], oh2)                  # (2, S) measured
+    mx, my = mcur[0, :], mcur[1, :]
+
+    # ---- PICP Gauss-Newton (picp_solver.cpp:98-112, early-exit loop) ----
+    # Sanitize dead slots exactly like ops.picp.solve: 0 * NaN = NaN would
+    # poison the in-loop H/b lane reductions.
+    live = weight > 0.0
+    gwx = jnp.where(live, wx, 1.0)
+    gwy = jnp.where(live, wy, 1.0)
+    gwz = jnp.where(live, wz, 1.0)
+    gmx = jnp.where(live, mx, 0.0)
+    gmy = jnp.where(live, my, 0.0)
+    eye = (1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0)
+    pose0 = tuple(
+        jnp.where(warm > 0.5, pose[j], eye[j]) for j in range(12)
+    )
+    final = gn_loop(
+        num_iterations, k, pose0, gwx, gwy, gwz, gmx, gmy, weight,
+        z_near, z_far, cols, rows, kt, keep_out, damping, tol,
+    )
+    new_pose = final[0:12]
+    chi_in, chi_out, n_in = final[13], final[14], final[15]
+
+    # ---- mid-point triangulation in prev-frame coords (utils.cpp:36-76) --
+    p1 = _gather(prev_ref[:, :], oh1)                   # (2, S) image-1 pts
+    u1, v1 = p1[0, :], p1[1, :]
+    u2, v2 = mx, my
+    # i_x = inverse(new_pose): R^T, -R^T t.
+    r = (new_pose[0], new_pose[1], new_pose[2],
+         new_pose[4], new_pose[5], new_pose[6],
+         new_pose[8], new_pose[9], new_pose[10])
+    rt = _transpose3(r)
+    t_vec = (new_pose[3], new_pose[7], new_pose[11])
+    it = tuple(-x for x in _mat3vec(rt, t_vec))
+    ir_ik = _mat3mul(rt, ik)
+    d1x = ik[0] * u1 + ik[1] * v1 + ik[2]
+    d1y = ik[3] * u1 + ik[4] * v1 + ik[5]
+    d1z = ik[6] * u1 + ik[7] * v1 + ik[8]
+    d2x = ir_ik[0] * u2 + ir_ik[1] * v2 + ir_ik[2]
+    d2y = ir_ik[3] * u2 + ir_ik[4] * v2 + ir_ik[5]
+    d2z = ir_ik[6] * u2 + ir_ik[7] * v2 + ir_ik[8]
+    a00 = d1x * d1x + d1y * d1y + d1z * d1z
+    a01 = -(d1x * d2x + d1y * d2y + d1z * d2z)
+    a11 = d2x * d2x + d2y * d2y + d2z * d2z
+    b0 = d1x * it[0] + d1y * it[1] + d1z * it[2]
+    b1 = -(d2x * it[0] + d2y * it[1] + d2z * it[2])
+    det = a00 * a11 - a01 * a01
+    safe_det = jnp.where(jnp.abs(det) < _DET_EPS, 1.0, det)
+    s0 = (a11 * b0 - a01 * b1) / safe_det
+    s1 = (a00 * b1 - a01 * b0) / safe_det
+    new_ok = (
+        (cvalid > 0.5) & (s0 >= 0.0) & (s1 >= 0.0) & (jnp.abs(det) >= _DET_EPS)
+    )
+    okf = new_ok.astype(jnp.float32)
+    # where(), not multiply-by-mask: garbage lanes may hold non-finite values.
+    ntx = jnp.where(new_ok, 0.5 * (s0 * d1x + it[0] + s1 * d2x), 0.0)
+    nty = jnp.where(new_ok, 0.5 * (s0 * d1y + it[1] + s1 * d2y), 0.0)
+    ntz = jnp.where(new_ok, 0.5 * (s0 * d1z + it[2] + s1 * d2z), 0.0)
+
+    # ---- first-wins lookup rebuild (_lookup_from_corr scatter-min) ----
+    lanes = jax.lax.broadcasted_iota(jnp.float32, (s, s), 1)
+    contrib = (cvalid > 0.5) & new_ok
+    # value[t, j] = j if (idx2[j] == t and contrib[j]) else BIG; min over j.
+    tgt = jax.lax.broadcasted_iota(jnp.float32, (s, s), 0)
+    vals = jnp.where(
+        (tgt == idx2.reshape(1, s)) & contrib.reshape(1, s), lanes, _BIG
+    )
+    lut_min = jnp.min(vals, axis=1, keepdims=True)       # (S, 1)
+    new_lut = jnp.where(lut_min < _BIG, lut_min, -1.0)
+
+    # ---- emit and carry ----
+    pose_row = jnp.pad(jnp.stack(new_pose), (0, s - 12))
+    stats_row = jnp.pad(
+        jnp.stack([chi_in, chi_out, n_in, jnp.sum(weight)]), (0, s - 4)
+    )
+    out_ref[0, :] = pose_row
+    out_ref[1, :] = stats_row
+    out_ref[2, :] = ntx
+    out_ref[3, :] = nty
+    out_ref[4, :] = ntz
+    out_ref[5, :] = okf
+    out_ref[6, :] = jnp.zeros((s,), jnp.float32)
+    out_ref[7, :] = jnp.zeros((s,), jnp.float32)
+
+    lut_c[:, :] = new_lut
+    tri_c[0, :] = ntx
+    tri_c[1, :] = nty
+    tri_c[2, :] = ntz
+    tri_c[3, :] = okf
+    for j in range(12):
+        pose_c[j] = new_pose[j]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_iterations", "keep_outliers", "warm_start", "interpret"),
+)
+def track_frames_fused(
+    camera_matrix: Array,     # (3, 3)
+    cam_params: Array,        # (4,) z_near, z_far, cols, rows
+    x_init: Array,            # (4, 4) carried pose entering the loop
+    init_lookup: Array,       # (S,) int32 measurement->slot lookup (-1 none)
+    init_tri: Array,          # (S, 3) carried triangulation
+    init_tri_ok: Array,       # (S,) bool
+    corr_idx1: Array,         # (F, S) int32
+    corr_idx2: Array,         # (F, S) int32
+    corr_valid: Array,        # (F, S) bool
+    prev_points: Array,       # (F, S, 2) reference-frame pixels per step
+    cur_points: Array,        # (F, S, 2) current-frame pixels per step
+    num_iterations: int,
+    kernel_threshold: Array,
+    damping: Array,
+    tolerance: Array,
+    keep_outliers: bool = False,
+    warm_start: bool = False,
+    interpret: bool = False,
+) -> Tuple[Array, Array, Array, Array]:
+    """Run the whole F-frame tracking loop in one kernel launch.
+
+    Returns (poses (F, 4, 4), tri_points (F, S, 3), tri_valid (F, S),
+    stats (F, 4) = [chi_inliers, chi_outliers, num_inliers, num_solver_corr])
+    — bitwise the same contract as scanning models/pipeline.frame_step with
+    merge_map=False (the map merge is hoisted by the caller either way).
+    """
+    f, s = corr_idx1.shape
+    corr = jnp.stack(
+        [
+            corr_idx1.astype(jnp.float32),
+            corr_idx2.astype(jnp.float32),
+            corr_valid.astype(jnp.float32),
+        ],
+        axis=1,
+    )                                                     # (F, 3, S)
+    prev_t = prev_points.transpose(0, 2, 1)               # (F, 2, S)
+    cur_t = cur_points.transpose(0, 2, 1)
+
+    scal = jnp.concatenate(
+        [
+            cam_params.astype(jnp.float32),
+            jnp.stack(
+                [
+                    jnp.asarray(kernel_threshold, jnp.float32),
+                    jnp.asarray(1.0 if keep_outliers else 0.0, jnp.float32),
+                    jnp.asarray(damping, jnp.float32),
+                    jnp.asarray(tolerance, jnp.float32),
+                    jnp.asarray(1.0 if warm_start else 0.0, jnp.float32),
+                ]
+            ),
+            camera_matrix.reshape(9).astype(jnp.float32),
+            jnp.linalg.inv(camera_matrix).reshape(9).astype(jnp.float32),
+            x_init[:3, :4].reshape(12).astype(jnp.float32),
+        ]
+    )
+    init_lut = init_lookup.astype(jnp.float32).reshape(s, 1)
+    init_tri_rows = jnp.concatenate(
+        [init_tri.T, init_tri_ok.astype(jnp.float32).reshape(1, s)]
+    )                                                     # (4, S)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, num_iterations),
+        grid=(f,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 3, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 2, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 2, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, 8, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((f, 8, s), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((s, 1), jnp.float32),
+            pltpu.VMEM((4, s), jnp.float32),
+            pltpu.SMEM((12,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scal, corr, prev_t, cur_t, init_lut, init_tri_rows)
+
+    pose_rows = out[:, 0, :12].reshape(f, 3, 4)
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32).reshape(1, 1, 4), (f, 1, 4)
+    )
+    poses = jnp.concatenate([pose_rows, bottom], axis=1)
+    tri = out[:, 2:5, :].transpose(0, 2, 1)
+    tri_ok = out[:, 5, :] > 0.5
+    stats = out[:, 1, :4]
+    return poses, tri, tri_ok, stats

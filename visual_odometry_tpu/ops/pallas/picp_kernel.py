@@ -255,18 +255,17 @@ def _transpose3(m):
     return (m[0], m[3], m[6], m[1], m[4], m[7], m[2], m[5], m[8])
 
 
-def _solve_kernel(num_iterations, scal_ref, world_ref, meas_ref, w_ref, out_ref):
-    z_near, z_far, cols, rows = scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3]
-    kt, keep_out, damping, tol = scal_ref[4], scal_ref[5], scal_ref[6], scal_ref[7]
-    k = tuple(scal_ref[8 + i] for i in range(9))           # K row-major
-    pose0 = tuple(scal_ref[17 + i] for i in range(12))     # [R|t] row-major 3x4
+def gn_loop(
+    num_iterations, k, pose0, wx, wy, wz, mx, my, wgt_in,
+    z_near, z_far, cols, rows, kt, keep_out, damping, tol,
+):
+    """The whole Gauss-Newton iteration as in-kernel lane/scalar code.
 
-    wx = world_ref[0, :]
-    wy = world_ref[1, :]
-    wz = world_ref[2, :]
-    mx = meas_ref[0, :]
-    my = meas_ref[1, :]
-    wgt_in = w_ref[0, :]
+    ``k``/``pose0`` are row-major scalar tuples (9 / 12 entries); the point
+    data are (N,)-lane vectors. Returns the final while_loop carry:
+    12 pose scalars, the active flag, chi_in, chi_out, n_in. Shared by the
+    standalone PICP solve kernel and the fused frame-step kernel.
+    """
 
     def cond(carry):
         # True early exit: the whole remaining iteration budget is skipped
@@ -382,7 +381,21 @@ def _solve_kernel(num_iterations, scal_ref, world_ref, meas_ref, w_ref, out_ref)
         + pose0
         + (jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0))
     )
-    final = jax.lax.while_loop(cond, body, init)[1:]
+    return jax.lax.while_loop(cond, body, init)[1:]
+
+
+def _solve_kernel(num_iterations, scal_ref, world_ref, meas_ref, w_ref, out_ref):
+    z_near, z_far, cols, rows = scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3]
+    kt, keep_out, damping, tol = scal_ref[4], scal_ref[5], scal_ref[6], scal_ref[7]
+    k = tuple(scal_ref[8 + i] for i in range(9))           # K row-major
+    pose0 = tuple(scal_ref[17 + i] for i in range(12))     # [R|t] row-major 3x4
+
+    final = gn_loop(
+        num_iterations, k, pose0,
+        world_ref[0, :], world_ref[1, :], world_ref[2, :],
+        meas_ref[0, :], meas_ref[1, :], w_ref[0, :],
+        z_near, z_far, cols, rows, kt, keep_out, damping, tol,
+    )
 
     row0 = jnp.stack(final[0:4])
     row1 = jnp.stack(final[4:8])

@@ -89,6 +89,12 @@ class VOConfig:
     # (ops/pallas/picp_kernel.solve_fused), "xla" = plain lax loop, "auto" =
     # pallas on TPU / xla elsewhere.
     solver_backend: str = "auto"
+    # Frame-loop backend for run_sequence: "fused" = the entire per-frame
+    # step (join + GN + triangulation + lookup scatter) as ONE Pallas kernel
+    # with a sequential grid over frames (ops/pallas/frame_kernel), "xla" =
+    # lax.scan over frame_step, "auto" = fused on TPU (SE(3) only; the
+    # planar pipeline always scans).
+    scan_backend: str = "auto"
 
     def replace(self, **kw) -> "VOConfig":
         return dataclasses.replace(self, **kw)
