@@ -51,7 +51,8 @@ _DET_EPS = 1e-12
 
 def _onehot(idx_row: Array, s: int) -> Array:
     """(1, S) f32 index row -> (S, S) one-hot with oh[s, j] = (idx[j] == s)."""
-    sub = jax.lax.broadcasted_iota(jnp.float32, (s, s), 0)
+    # Mosaic requires integer iota; cast to f32 afterwards.
+    sub = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0).astype(jnp.float32)
     return (sub == idx_row).astype(jnp.float32)
 
 
@@ -179,10 +180,10 @@ def _kernel(
     ntz = jnp.where(new_ok, 0.5 * (s0 * d1z + it[2] + s1 * d2z), 0.0)
 
     # ---- first-wins lookup rebuild (_lookup_from_corr scatter-min) ----
-    lanes = jax.lax.broadcasted_iota(jnp.float32, (s, s), 1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1).astype(jnp.float32)
     contrib = (cvalid > 0.5) & new_ok
     # value[t, j] = j if (idx2[j] == t and contrib[j]) else BIG; min over j.
-    tgt = jax.lax.broadcasted_iota(jnp.float32, (s, s), 0)
+    tgt = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0).astype(jnp.float32)
     vals = jnp.where(
         (tgt == idx2.reshape(1, s)) & contrib.reshape(1, s), lanes, _BIG
     )
