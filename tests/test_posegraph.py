@@ -1,0 +1,167 @@
+"""Sequence-parallel (chunked) tracking + pose-graph scale stitching.
+
+No reference counterpart (the reference's frame loop is strictly serial,
+vo_complete.cpp:150-179); validated against the serial pipeline and the
+ground truth via the evaluation metrics (evaluate.cpp semantics).
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from visual_odometry_tpu.models import pipeline
+from visual_odometry_tpu.ops.camera import Camera
+from visual_odometry_tpu.parallel import posegraph
+from visual_odometry_tpu.parallel.mesh import make_mesh
+from visual_odometry_tpu.utils import evaluation, io
+from visual_odometry_tpu.utils.config import VOConfig
+
+
+@pytest.fixture(scope="module")
+def real_seq():
+    data_dir = "/root/reference/example_data/data"
+    if not os.path.isdir(data_dir):
+        pytest.skip("reference example dataset not available")
+    params = io.load_camera_params(os.path.join(data_dir, "camera.dat"))
+    camera = Camera.create(
+        params.camera_matrix, rows=params.height, cols=params.width,
+        z_near=params.z_near, z_far=params.z_far,
+    )
+    seq = io.load_sequence(data_dir, 128)
+    _, gt_xyt = io.load_trajectory(os.path.join(data_dir, "trajectory.dat"))
+    return params, camera, seq, io.gt_poses_se3(gt_xyt)
+
+
+def _abs_robot_poses(trajectory, cam_in_robot):
+    """H <- H * camInRobot * X^-1 * camInRobot^-1 (files_utils.cpp:142-150)."""
+    h = np.eye(4, dtype=np.float64)
+    cir = cam_in_robot.astype(np.float64)
+    out = []
+    for x in np.asarray(trajectory, np.float64):
+        h = h @ cir @ np.linalg.inv(x) @ np.linalg.inv(cir)
+        out.append(h.copy())
+    return np.stack(out).astype(np.float32)
+
+
+def test_plan_chunks_covers_and_overlaps():
+    starts, length = posegraph.plan_chunks(121, 4, 10)
+    assert len(starts) == 4
+    assert starts[0] == 0
+    assert starts[-1] + length == 121
+    for a, b in zip(starts, starts[1:]):
+        assert b > a
+        assert a + length - b >= 10  # consecutive chunks share >= overlap
+
+
+def test_plan_chunks_slides_to_best_bootstrap():
+    scores = np.ones(120, np.float32)
+    scores[76:84] = 1e-3  # pure-rotation segment
+    scores[74] = 5.0      # best pair in the slack window of chunk 3's start
+    starts, length = posegraph.plan_chunks(121, 5, 8, scores=scores, slack=6)
+    # every non-edge chunk bootstraps on a pair scoring above the valley
+    for s in starts[1:-1]:
+        assert scores[s] > 1e-3
+    # coverage: consecutive chunks still overlap and the plan spans all frames
+    assert starts[0] == 0
+    for a, b in zip(starts, starts[1:]):
+        assert b > a
+        assert a + length - b >= 8
+
+
+def test_plan_chunks_single():
+    assert posegraph.plan_chunks(50, 1, 10) == ((0,), 50)
+
+
+def test_single_chunk_matches_serial(real_seq):
+    _, camera, seq, _ = real_seq
+    cfg = VOConfig(gn_iterations=20)
+    n = 20
+    pts = jnp.asarray(seq.points[:n])
+    apps = jnp.asarray(seq.appearances[:n])
+    mask = jnp.asarray(seq.mask[:n])
+    traj_s, map_s, _ = pipeline.run_sequence(camera, cfg, pts, apps, mask)
+    traj_c, map_c, diags = posegraph.run_sequence_chunked(
+        camera, cfg, pts, apps, mask, num_chunks=1
+    )
+    np.testing.assert_allclose(np.asarray(traj_c), np.asarray(traj_s), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(diags.scales), np.ones(1, np.float32), atol=0
+    )
+    assert int(jnp.sum(map_c.valid)) == int(jnp.sum(map_s.valid))
+
+
+def test_chunked_matches_gt_metrics(real_seq):
+    params, camera, seq, gt = real_seq
+    cfg = VOConfig()
+    f = seq.points.shape[0]
+    pts = jnp.asarray(seq.points)
+    apps = jnp.asarray(seq.appearances)
+    mask = jnp.asarray(seq.mask)
+
+    traj_c, _, diags = posegraph.run_sequence_chunked(
+        camera, cfg, pts, apps, mask, num_chunks=4, overlap=12
+    )
+    traj_c = np.asarray(traj_c)
+    assert traj_c.shape == (f, 4, 4)
+    # every boundary had usable scale observations and consistent rotations
+    assert np.all(np.asarray(diags.num_ratio_obs) >= 3)
+    assert np.all(np.asarray(diags.rot_consistency) < 1e-2)
+
+    est = _abs_robot_poses(traj_c, params.cam_in_robot)
+    res = evaluation.evaluate(est, gt)
+    finite = np.isfinite(res.orientation_errors)
+    # orientation errors are scale-free: should stay at reference-level
+    # accuracy (README.md:74-76 reports ~5.3e-6 for the serial pipeline)
+    assert np.abs(res.orientation_errors[finite]).mean() < 1e-4
+    # position RMSE after the evaluation's global scale correction: must
+    # stay in the same regime as the reference's 0.145 (README.md:79);
+    # measured 0.156 (4 chunks) / 0.143 (6 chunks)
+    assert res.rmse_position < 0.25
+
+
+def test_chunked_map_merges_across_chunks(real_seq):
+    _, camera, seq, _ = real_seq
+    cfg = VOConfig()
+    pts = jnp.asarray(seq.points[:40])
+    apps = jnp.asarray(seq.appearances[:40])
+    mask = jnp.asarray(seq.mask[:40])
+    _, map_s, _ = pipeline.run_sequence(camera, cfg, pts, apps, mask)
+    _, map_c, _ = posegraph.run_sequence_chunked(
+        camera, cfg, pts, apps, mask, num_chunks=2, overlap=8
+    )
+    n_serial = int(jnp.sum(map_s.valid))
+    n_chunked = int(jnp.sum(map_c.valid))
+    # appearance keys dedup exactly across chunks, so the chunked map sees
+    # the same landmarks plus at most the extra bootstrap re-triangulations
+    # of chunk 1's first pair (already observed => merged, not appended)
+    assert abs(n_chunked - n_serial) <= 0.05 * n_serial
+
+
+def test_chunked_sharded_over_mesh(real_seq):
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    _, camera, seq, _ = real_seq
+    cfg = VOConfig(gn_iterations=20)
+    pts = jnp.asarray(seq.points[:60])
+    apps = jnp.asarray(seq.appearances[:60])
+    mask = jnp.asarray(seq.mask[:60])
+    mesh = make_mesh(4, ("dp", "lm"), dp_size=4)
+    traj_m, _, _ = posegraph.run_sequence_chunked(
+        camera, cfg, pts, apps, mask, num_chunks=4, overlap=10, mesh=mesh
+    )
+    traj_1, _, _ = posegraph.run_sequence_chunked(
+        camera, cfg, pts, apps, mask, num_chunks=4, overlap=10
+    )
+    # GSPMD partitioning changes fusion/layout, which perturbs the
+    # null-space polish of each chunk's 8-point bootstrap at fp level; the
+    # check here is the sharding wiring, not bitwise parity.
+    np.testing.assert_allclose(
+        np.asarray(traj_m)[:, :3, 3], np.asarray(traj_1)[:, :3, 3], atol=1e-2
+    )
+    rot_dev = np.einsum(
+        "fji,fjk->fik", np.asarray(traj_m)[:, :3, :3], np.asarray(traj_1)[:, :3, :3]
+    )
+    assert np.all(3.0 - np.trace(rot_dev, axis1=1, axis2=2) < 1e-4)

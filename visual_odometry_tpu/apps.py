@@ -81,9 +81,17 @@ def run_vo_complete(
     )
 
     t0 = time.perf_counter()
-    trajectory, map_state, outs = pipeline.run_sequence(
-        camera, config, pts_d, apps_d, mask_d
-    )
+    if config.num_chunks > 1:
+        from .parallel import posegraph
+
+        trajectory, map_state, outs = posegraph.run_sequence_chunked(
+            camera, config, pts_d, apps_d, mask_d,
+            num_chunks=config.num_chunks, overlap=config.chunk_overlap,
+        )
+    else:
+        trajectory, map_state, outs = pipeline.run_sequence(
+            camera, config, pts_d, apps_d, mask_d
+        )
     trajectory = np.asarray(trajectory)  # blocks until done
     elapsed = time.perf_counter() - t0
 

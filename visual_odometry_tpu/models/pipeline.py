@@ -293,8 +293,15 @@ def _batched_match(
     )(prev.appearances, prev.mask, frames.appearances, frames.mask)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "use_known_da"))
-def _run(
+class InitTriangulation(NamedTuple):
+    """The two-view bootstrap's triangulated observations (map-stream head)."""
+
+    points: Array  # (S, 3) in frame-0 camera coords
+    apps: Array    # (S, D) appearance keys (second frame's, utils.cpp:127)
+    valid: Array   # (S,) bool
+
+
+def _track(
     camera: Camera,
     config: VOConfig,
     points: Array,
@@ -302,16 +309,30 @@ def _run(
     masks: Array,
     ids: Array,
     use_known_da: bool,
-) -> Tuple[Array, LandmarkMap, FrameOutput]:
+) -> Tuple[Array, FrameOutput, InitTriangulation]:
+    """Bootstrap + track all frames; no landmark-map fold.
+
+    Returns (x_init, per-frame outputs for frames 2.., the bootstrap
+    triangulation). Shared by :func:`_run` (which folds the map) and the
+    chunk-parallel pose-graph runner (parallel/posegraph), which stitches
+    many `_track` results and folds ONE global map.
+    """
     f0 = FrameData(points[0], appearances[0], masks[0], ids[0])
     f1 = FrameData(points[1], appearances[1], masks[1], ids[1])
     state, x_init = initialize(camera, config, f0, f1, use_known_da)
+    # ``initialize`` seeds an empty map with exactly the bootstrap
+    # triangulation (compacted to the front, incoming order), so its first
+    # n_slots rows ARE the bootstrap observations in frame-0 coords.
+    s = config.n_slots
+    init_tri = InitTriangulation(
+        points=state.map.points[:s],
+        apps=state.map.appearances[:s],
+        valid=state.map.valid[:s],
+    )
 
     rest = FrameData(points[2:], appearances[2:], masks[2:], ids[2:])
     prev = FrameData(points[1:-1], appearances[1:-1], masks[1:-1], ids[1:-1])
     corr_all = _batched_match(config, use_known_da, rest, prev)
-
-    init_map = state.map
 
     backend = config.scan_backend
     if backend == "auto":
@@ -374,6 +395,23 @@ def _run(
 
         state, outs = jax.lax.scan(body, state, (rest, corr_all))
 
+    return x_init, outs, init_tri
+
+
+@functools.partial(jax.jit, static_argnames=("config", "use_known_da"))
+def _run(
+    camera: Camera,
+    config: VOConfig,
+    points: Array,
+    appearances: Array,
+    masks: Array,
+    ids: Array,
+    use_known_da: bool,
+) -> Tuple[Array, LandmarkMap, FrameOutput]:
+    x_init, outs, init_tri = _track(
+        camera, config, points, appearances, masks, ids, use_known_da
+    )
+
     # Landmark-map merge, hoisted out of the scan: the map never feeds back
     # into tracking (vo_complete.cpp:175 only accumulates it), so the
     # per-frame scatter merge becomes (a) one associative_scan for the
@@ -386,11 +424,11 @@ def _run(
     )  # chains[j] maps frame j+1 coords -> frame 0 coords
     tri_world = jax.vmap(se3.transform_points)(chains, outs.tri_points)
     d = appearances.shape[-1]
-    stream_pts = jnp.concatenate([init_map.points, tri_world.reshape(-1, 3)])
+    stream_pts = jnp.concatenate([init_tri.points, tri_world.reshape(-1, 3)])
     stream_apps = jnp.concatenate(
-        [init_map.appearances, outs.tri_apps.reshape(-1, d)]
+        [init_tri.apps, outs.tri_apps.reshape(-1, d)]
     )
-    stream_mask = jnp.concatenate([init_map.valid, outs.tri_valid.reshape(-1)])
+    stream_mask = jnp.concatenate([init_tri.valid, outs.tri_valid.reshape(-1)])
     final_map = landmark_map.merge_stream(
         stream_pts, stream_apps, stream_mask, config.map_capacity
     )

@@ -139,6 +139,69 @@ def essential_to_transform_pair(e: Array) -> Tuple[Array, Array, Array, Array]:
     return r1, t1, r2, t2
 
 
+def homography_transfer_residuals(
+    idx1: Array,
+    idx2: Array,
+    corr_valid: Array,
+    p1_img: Array,
+    p2_img: Array,
+    mask1: Array,
+    mask2: Array,
+) -> Tuple[Array, Array]:
+    """Per-correspondence transfer residual of the best-fit DLT homography.
+
+    Two-view degeneracy score with no reference counterpart (the reference
+    never bootstraps mid-sequence): a pure-rotation (or planar) frame pair
+    is EXACTLY explained by a homography, so the residual of the best-fit
+    H measures the translation-plus-depth-variation evidence that the
+    8-point initializer (epipolar_utils.cpp:176-213) needs — E = Rᵀskew(t)
+    vanishes as t -> 0, making bootstrap scale meaningless there. Chunked
+    tracking (parallel/posegraph) uses the masked median of these residuals
+    to pick well-conditioned bootstrap pairs.
+
+    Returns (residuals, valid) in the [-1, 1]-normalized image frame, one
+    per correspondence slot; built exactly like ``estimate_fundamental``
+    (same normalization, same 9x9 normal-matrix null space, same
+    inverse-iteration polish) but with the two DLT rows per point.
+    """
+    p1n, t1 = normalize_points(p1_img, mask1)
+    p2n, t2 = normalize_points(p2_img, mask2)
+    del t1, t2  # residuals are scored in the normalized frame
+
+    x1 = p1n[idx1, 0]
+    y1 = p1n[idx1, 1]
+    x2 = p2n[idx2, 0]
+    y2 = p2n[idx2, 1]
+    zeros = jnp.zeros_like(x1)
+    ones = jnp.ones_like(x1)
+    row_a = jnp.stack(
+        [x1, y1, ones, zeros, zeros, zeros, -x2 * x1, -x2 * y1, -x2], axis=-1
+    )
+    row_b = jnp.stack(
+        [zeros, zeros, zeros, x1, y1, ones, -y2 * x1, -y2 * y1, -y2], axis=-1
+    )
+    rows = jnp.concatenate([row_a, row_b], axis=0)
+    rows = jnp.where(jnp.concatenate([corr_valid, corr_valid])[:, None], rows, 0.0)
+
+    ata = rows.T @ rows
+    _, vecs = jnp.linalg.eigh(ata)
+    v = vecs[:, 0]
+    ridge = 1e-12 * jnp.trace(ata)
+    ata_r = ata + ridge * jnp.eye(9, dtype=ata.dtype)
+    for _ in range(2):
+        v = jnp.linalg.solve(ata_r, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+    h = v.reshape(3, 3)
+
+    px = h[0, 0] * x1 + h[0, 1] * y1 + h[0, 2]
+    py = h[1, 0] * x1 + h[1, 1] * y1 + h[1, 2]
+    pz = h[2, 0] * x1 + h[2, 1] * y1 + h[2, 2]
+    safe_pz = jnp.where(jnp.abs(pz) < 1e-12, 1.0, pz)
+    res = jnp.hypot(px / safe_pz - x2, py / safe_pz - y2)
+    valid = corr_valid & (jnp.abs(pz) >= 1e-12)
+    return jnp.where(valid, res, 0.0), valid
+
+
 def estimate_transform(
     camera_matrix: Array,
     idx1: Array,

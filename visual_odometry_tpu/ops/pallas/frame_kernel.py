@@ -66,32 +66,38 @@ def _gather(rows: Array, oh: Array) -> Array:
 
 def _kernel(
     num_iterations,
-    scal_ref,       # SMEM: params + K + iK + init pose
-    corr_ref,       # (3, S): idx1, idx2, valid            [frame i]
-    prev_ref,       # (2, S): prev-frame pixel coords       [frame i]
-    cur_ref,        # (2, S): current-frame pixel coords    [frame i]
-    init_lut_ref,   # (S, 1): initial lookup column (f32, -1 = none)
-    init_tri_ref,   # (4, S): initial tri x/y/z/ok rows
+    scal_ref,       # SMEM (C, 39): params + K + iK + init pose, per chunk
+    corr_ref,       # (3, S): idx1, idx2, valid            [chunk c, frame i]
+    prev_ref,       # (2, S): prev-frame pixel coords       [chunk c, frame i]
+    cur_ref,        # (2, S): current-frame pixel coords    [chunk c, frame i]
+    init_lut_ref,   # (S, 1): initial lookup column (f32, -1 = none) [chunk c]
+    init_tri_ref,   # (4, S): initial tri x/y/z/ok rows              [chunk c]
     out_ref,        # (8, S): pose row, stats row, tri x/y/z/ok rows
     lut_c,          # scratch (S, 1)
     tri_c,          # scratch (4, S): x, y, z, ok
     pose_c,         # scratch SMEM (12,)
 ):
-    i = pl.program_id(0)
+    c = pl.program_id(0)
+    i = pl.program_id(1)
     s = corr_ref.shape[1]
 
-    z_near, z_far, cols, rows = scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3]
-    kt, keep_out, damping, tol = scal_ref[4], scal_ref[5], scal_ref[6], scal_ref[7]
-    warm = scal_ref[8]
-    k = tuple(scal_ref[9 + j] for j in range(9))    # K row-major
-    ik = tuple(scal_ref[18 + j] for j in range(9))  # K^-1 row-major
+    z_near, z_far = scal_ref[c, 0], scal_ref[c, 1]
+    cols, rows = scal_ref[c, 2], scal_ref[c, 3]
+    kt, keep_out = scal_ref[c, 4], scal_ref[c, 5]
+    damping, tol = scal_ref[c, 6], scal_ref[c, 7]
+    warm = scal_ref[c, 8]
+    k = tuple(scal_ref[c, 9 + j] for j in range(9))    # K row-major
+    ik = tuple(scal_ref[c, 18 + j] for j in range(9))  # K^-1 row-major
 
+    # The grid is chunk-major (frames innermost), so i == 0 is the first
+    # step of chunk c: re-seed the carried scratch from the chunk's own
+    # initial state.
     @pl.when(i == 0)
     def _():
         lut_c[:, :] = init_lut_ref[:, :]
         tri_c[:, :] = init_tri_ref[:, :]
         for j in range(12):
-            pose_c[j] = scal_ref[27 + j]
+            pose_c[j] = scal_ref[c, 27 + j]
 
     idx1 = corr_ref[0, :]
     idx2 = corr_ref[1, :]
@@ -213,10 +219,165 @@ def _kernel(
         pose_c[j] = new_pose[j]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_iterations", "keep_outliers", "warm_start", "interpret"),
-)
+def _run_batched(
+    num_iterations: int,
+    keep_outliers: bool,
+    warm_start: bool,
+    interpret: bool,
+    camera_matrix: Array,     # (C, 3, 3)
+    cam_params: Array,        # (C, 4)
+    x_init: Array,            # (C, 4, 4)
+    init_lookup: Array,       # (C, S)
+    init_tri: Array,          # (C, S, 3)
+    init_tri_ok: Array,       # (C, S)
+    corr_idx1: Array,         # (C, F, S)
+    corr_idx2: Array,         # (C, F, S)
+    corr_valid: Array,        # (C, F, S)
+    prev_points: Array,       # (C, F, S, 2)
+    cur_points: Array,        # (C, F, S, 2)
+    kernel_threshold: Array,  # (C,)
+    damping: Array,           # (C,)
+    tolerance: Array,         # (C,)
+) -> Tuple[Array, Array, Array, Array]:
+    """Chunk-batched fused tracking: grid (C, F), frames innermost.
+
+    Each chunk's carried state lives in the same VMEM/SMEM scratch, re-seeded
+    at its first frame step; chunks are independent, so the grid's sequential
+    order is correct by construction (and XLA may still overlap the DMA
+    pipeline across the chunk boundary).
+    """
+    c, f, s = corr_idx1.shape
+    corr = jnp.stack(
+        [
+            corr_idx1.astype(jnp.float32),
+            corr_idx2.astype(jnp.float32),
+            corr_valid.astype(jnp.float32),
+        ],
+        axis=2,
+    )                                                     # (C, F, 3, S)
+    prev_t = prev_points.transpose(0, 1, 3, 2)            # (C, F, 2, S)
+    cur_t = cur_points.transpose(0, 1, 3, 2)
+
+    def make_scal(cm, cp, x0, kt, dmp, tol):
+        return jnp.concatenate(
+            [
+                cp.astype(jnp.float32),
+                jnp.stack(
+                    [
+                        kt.astype(jnp.float32),
+                        jnp.asarray(1.0 if keep_outliers else 0.0, jnp.float32),
+                        dmp.astype(jnp.float32),
+                        tol.astype(jnp.float32),
+                        jnp.asarray(1.0 if warm_start else 0.0, jnp.float32),
+                    ]
+                ),
+                cm.reshape(9).astype(jnp.float32),
+                jnp.linalg.inv(cm).reshape(9).astype(jnp.float32),
+                x0[:3, :4].reshape(12).astype(jnp.float32),
+            ]
+        )
+
+    scal = jax.vmap(make_scal)(
+        camera_matrix, cam_params, x_init, kernel_threshold, damping, tolerance
+    )                                                     # (C, 39)
+    init_lut = init_lookup.astype(jnp.float32).reshape(c, s, 1)
+    init_tri_rows = jnp.concatenate(
+        [
+            init_tri.transpose(0, 2, 1),
+            init_tri_ok.astype(jnp.float32).reshape(c, 1, s),
+        ],
+        axis=1,
+    )                                                     # (C, 4, S)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, num_iterations),
+        grid=(c, f),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (None, None, 3, s), lambda c, i: (c, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, None, 2, s), lambda c, i: (c, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, None, 2, s), lambda c, i: (c, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, s, 1), lambda c, i: (c, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (None, 4, s), lambda c, i: (c, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, None, 8, s), lambda c, i: (c, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, f, 8, s), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((s, 1), jnp.float32),
+            pltpu.VMEM((4, s), jnp.float32),
+            pltpu.SMEM((12,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scal, corr, prev_t, cur_t, init_lut, init_tri_rows)
+
+    pose_rows = out[:, :, 0, :12].reshape(c, f, 3, 4)
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32).reshape(1, 1, 1, 4),
+        (c, f, 1, 4),
+    )
+    poses = jnp.concatenate([pose_rows, bottom], axis=2)
+    tri = out[:, :, 2:5, :].transpose(0, 1, 3, 2)
+    tri_ok = out[:, :, 5, :] > 0.5
+    stats = out[:, :, 1, :4]
+    return poses, tri, tri_ok, stats
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_fn(num_iterations, keep_outliers, warm_start, interpret):
+    """custom_vmap-wrapped single-sequence tracker for these static options.
+
+    vmap-ing the fused call (the chunk axis of parallel/posegraph) must NOT
+    go through Pallas' generic batching rule — it blocks SMEM operands —
+    so the batch rule dispatches to the explicit (C, F) grid kernel, whose
+    chunk axis costs nothing extra (same scratch, same per-frame blocks).
+    """
+
+    @jax.custom_batching.custom_vmap
+    def fn(
+        camera_matrix, cam_params, x_init, init_lookup, init_tri, init_tri_ok,
+        corr_idx1, corr_idx2, corr_valid, prev_points, cur_points,
+        kernel_threshold, damping, tolerance,
+    ):
+        args = (
+            camera_matrix, cam_params, x_init, init_lookup, init_tri,
+            init_tri_ok, corr_idx1, corr_idx2, corr_valid, prev_points,
+            cur_points, kernel_threshold, damping, tolerance,
+        )
+        outs = _run_batched(
+            num_iterations, keep_outliers, warm_start, interpret,
+            *(a[None] for a in args),
+        )
+        return jax.tree.map(lambda x: x[0], outs)
+
+    @fn.def_vmap
+    def _fn_vmap(axis_size, in_batched, *args):
+        args_b = tuple(
+            a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+            for a, b in zip(args, in_batched)
+        )
+        outs = _run_batched(
+            num_iterations, keep_outliers, warm_start, interpret, *args_b
+        )
+        return outs, jax.tree.map(lambda _: True, outs)
+
+    return fn
+
+
 def track_frames_fused(
     camera_matrix: Array,     # (3, 3)
     cam_params: Array,        # (4,) z_near, z_far, cols, rows
@@ -243,70 +404,24 @@ def track_frames_fused(
     stats (F, 4) = [chi_inliers, chi_outliers, num_inliers, num_solver_corr])
     — bitwise the same contract as scanning models/pipeline.frame_step with
     merge_map=False (the map merge is hoisted by the caller either way).
+    vmap over a leading chunk axis folds into the kernel grid (see _fused_fn).
     """
-    f, s = corr_idx1.shape
-    corr = jnp.stack(
-        [
-            corr_idx1.astype(jnp.float32),
-            corr_idx2.astype(jnp.float32),
-            corr_valid.astype(jnp.float32),
-        ],
-        axis=1,
-    )                                                     # (F, 3, S)
-    prev_t = prev_points.transpose(0, 2, 1)               # (F, 2, S)
-    cur_t = cur_points.transpose(0, 2, 1)
-
-    scal = jnp.concatenate(
-        [
-            cam_params.astype(jnp.float32),
-            jnp.stack(
-                [
-                    jnp.asarray(kernel_threshold, jnp.float32),
-                    jnp.asarray(1.0 if keep_outliers else 0.0, jnp.float32),
-                    jnp.asarray(damping, jnp.float32),
-                    jnp.asarray(tolerance, jnp.float32),
-                    jnp.asarray(1.0 if warm_start else 0.0, jnp.float32),
-                ]
-            ),
-            camera_matrix.reshape(9).astype(jnp.float32),
-            jnp.linalg.inv(camera_matrix).reshape(9).astype(jnp.float32),
-            x_init[:3, :4].reshape(12).astype(jnp.float32),
-        ]
+    fn = _fused_fn(
+        int(num_iterations), bool(keep_outliers), bool(warm_start), bool(interpret)
     )
-    init_lut = init_lookup.astype(jnp.float32).reshape(s, 1)
-    init_tri_rows = jnp.concatenate(
-        [init_tri.T, init_tri_ok.astype(jnp.float32).reshape(1, s)]
-    )                                                     # (4, S)
-
-    out = pl.pallas_call(
-        functools.partial(_kernel, num_iterations),
-        grid=(f,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 3, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 2, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 2, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (None, 8, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((f, 8, s), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((s, 1), jnp.float32),
-            pltpu.VMEM((4, s), jnp.float32),
-            pltpu.SMEM((12,), jnp.float32),
-        ],
-        interpret=interpret,
-    )(scal, corr, prev_t, cur_t, init_lut, init_tri_rows)
-
-    pose_rows = out[:, 0, :12].reshape(f, 3, 4)
-    bottom = jnp.broadcast_to(
-        jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32).reshape(1, 1, 4), (f, 1, 4)
+    return fn(
+        camera_matrix,
+        cam_params,
+        x_init,
+        init_lookup,
+        init_tri,
+        init_tri_ok,
+        corr_idx1,
+        corr_idx2,
+        corr_valid,
+        prev_points,
+        cur_points,
+        jnp.asarray(kernel_threshold, jnp.float32),
+        jnp.asarray(damping, jnp.float32),
+        jnp.asarray(tolerance, jnp.float32),
     )
-    poses = jnp.concatenate([pose_rows, bottom], axis=1)
-    tri = out[:, 2:5, :].transpose(0, 2, 1)
-    tri_ok = out[:, 5, :] > 0.5
-    stats = out[:, 1, :4]
-    return poses, tri, tri_ok, stats

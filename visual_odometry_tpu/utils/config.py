@@ -77,6 +77,15 @@ class VOConfig:
         mount = tuple(tuple(float(x) for x in row) for row in np.asarray(cam_in_robot))
         return self.replace(planar=True, cam_in_robot=mount)
 
+    # --- sequence parallelism (parallel/posegraph; no reference
+    # counterpart) --- track the sequence as num_chunks overlapping chunks
+    # in parallel and stitch them with per-boundary monocular-scale
+    # alignment. 1 = the serial reference-parity scan. The overlap must
+    # span real robot motion: each boundary's scale is the median of
+    # translation-norm ratios over the overlap's shared PICP poses.
+    num_chunks: int = 1
+    chunk_overlap: int = 10
+
     # --- global refinement (no reference counterpart; models/refinement) ---
     # LM/GN bundle-adjustment iterations run over the whole trajectory+map
     # after tracking. 0 disables (reference-parity pipeline).
