@@ -79,3 +79,46 @@ def test_identity_when_no_votes():
         cam.camera_matrix, idx, idx, none, zeros, zeros, none, none
     )
     np.testing.assert_allclose(np.array(x), np.eye(4), atol=1e-5)
+
+
+def test_homography_residuals_separate_degenerate_pairs():
+    """Pure-rotation pairs score ~0; translated pairs score large.
+
+    The scorer backs parallel/posegraph's bootstrap-pair selection: a
+    pure-rotation pair is exactly homography-explained (degenerate for the
+    8-point translation), a translated pair over a non-planar scene is not.
+    """
+    from visual_odometry_tpu.ops import se3
+    from visual_odometry_tpu.ops.camera import project_points
+
+    rng = np.random.default_rng(3)
+    n = 256
+    world = np.stack(
+        [rng.uniform(-1.5, 1.5, n), rng.uniform(-1.2, 1.2, n),
+         rng.uniform(2.0, 6.0, n)], axis=1,
+    ).astype(np.float32)
+    cam = synthetic.default_camera()
+    p0, m0 = project_points(cam, jnp.asarray(world))
+
+    rot_only = np.array(
+        se3.v2t_euler(jnp.float32([0.0, 0.0, 0.0, 0.03, -0.02, 0.04]))
+    )
+    translated = np.array(
+        se3.v2t_euler(jnp.float32([0.3, -0.1, 0.2, 0.03, -0.02, 0.04]))
+    )
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def med(pose):
+        p1, m1 = project_points(synthetic.default_camera(pose), jnp.asarray(world))
+        valid = jnp.asarray(np.array(m0) & np.array(m1))
+        res, ok = epipolar.homography_transfer_residuals(
+            idx, idx, valid, p0, p1, m0, m1
+        )
+        r, o = np.array(res), np.array(ok)
+        assert o.sum() >= 8
+        return np.median(r[o])
+
+    med_rot = med(rot_only)
+    med_tr = med(translated)
+    assert med_rot < 1e-4           # homography fits exactly
+    assert med_tr > 10 * max(med_rot, 1e-6)  # real parallax resists H

@@ -80,9 +80,9 @@ class VOConfig:
     # --- sequence parallelism (parallel/posegraph; no reference
     # counterpart) --- track the sequence as num_chunks overlapping chunks
     # in parallel and stitch them with per-boundary monocular-scale
-    # alignment. 1 = the serial reference-parity scan. The overlap must
-    # span real robot motion: each boundary's scale is the median of
-    # translation-norm ratios over the overlap's shared PICP poses.
+    # alignment. 1 = the serial reference-parity scan. Each boundary's
+    # scale is the median norm ratio of the two chunks' slot-aligned
+    # overlap triangulations (pose-translation ratios as fallback).
     num_chunks: int = 1
     chunk_overlap: int = 10
 
