@@ -128,6 +128,82 @@ def test_linearize_matches_scalar_oracle(rng):
     assert int(stats.num_inliers) == n_inl
 
 
+def test_min_num_inliers_floor_skips_update(rng):
+    """picp_solver.cpp:103-107: rounds with < min_num_inliers inliers apply
+    no pose update, so a floor above the available inlier count freezes the
+    start pose in every backend."""
+    world = synthetic.generate_points3d(rng, 512)
+    gt_pose = _perturbed_pose(rng, 0.05)
+    cam_gt = synthetic.default_camera(gt_pose)
+    meas, valid = project_points(cam_gt, jnp.asarray(world))
+    weights = jnp.asarray(np.array(valid), jnp.float32)
+    n_valid = int(np.array(valid).sum())
+    assert n_valid >= 8
+    start = _perturbed_pose(rng, 0.05)
+    cam0 = synthetic.default_camera(start)
+
+    for backend in ("xla", "pallas"):
+        if backend == "pallas":
+            from visual_odometry_tpu.ops.pallas.picp_kernel import solve_fused
+
+            pose, stats = solve_fused(
+                cam0.camera_matrix,
+                cam0.world_in_camera,
+                jnp.stack([cam0.z_near, cam0.z_far, cam0.cols, cam0.rows]),
+                jnp.asarray(world),
+                meas,
+                weights,
+                20,
+                jnp.float32(10000.0),
+                jnp.float32(1.0),
+                jnp.float32(-1.0),
+                interpret=True,
+                min_num_inliers=jnp.float32(n_valid + 1),
+            )
+            frozen = np.array(pose)
+        else:
+            cam_est, stats = picp.solve(
+                cam0, jnp.asarray(world), meas, weights, 20,
+                min_num_inliers=n_valid + 1, backend=backend,
+            )
+            frozen = np.array(cam_est.world_in_camera)
+        np.testing.assert_allclose(frozen, start, atol=1e-6)
+        # Stats still reflect the (skipped) round's linearization.
+        assert 0 < int(stats.num_inliers) <= n_valid
+
+    # A floor the data satisfies must not change the solution.
+    cam_lo, _ = picp.solve(
+        cam0, jnp.asarray(world), meas, weights, 50, min_num_inliers=4,
+        backend="xla",
+    )
+    cam_ref, _ = picp.solve(
+        cam0, jnp.asarray(world), meas, weights, 50, backend="xla"
+    )
+    np.testing.assert_allclose(
+        np.array(cam_lo.world_in_camera),
+        np.array(cam_ref.world_in_camera),
+        atol=0.0,
+    )
+
+
+def test_min_num_inliers_floor_se2(rng):
+    from visual_odometry_tpu.ops import picp_se2
+
+    world = synthetic.generate_points3d(rng, 64)
+    cam0 = synthetic.default_camera(np.eye(4, dtype=np.float32))
+    meas, valid = project_points(cam0, jnp.asarray(world))
+    meas = jnp.asarray(np.array(meas) + 3.0)  # offset so dx would be nonzero
+    weights = jnp.asarray(np.array(valid), jnp.float32)
+    n_valid = int(np.array(valid).sum())
+    solved, stats = picp_se2.solve_se2(
+        cam0, jnp.asarray(world), meas, weights, 10,
+        min_num_inliers=n_valid + 1,
+    )
+    np.testing.assert_allclose(
+        np.array(solved.world_in_camera), np.eye(4), atol=1e-6
+    )
+
+
 def test_solve_is_jittable(rng):
     world = jnp.asarray(synthetic.generate_points3d(rng, 128))
     cam = synthetic.default_camera(np.eye(4, dtype=np.float32))

@@ -224,6 +224,7 @@ def frame_step(
             keep_outliers=config.keep_outliers,
             tolerance=config.gn_tolerance,
             cam_in_robot=config.planar_mount(),
+            min_num_inliers=config.min_num_inliers,
         )
     else:
         solved_cam, stats = picp.solve(
@@ -237,6 +238,7 @@ def frame_step(
             keep_outliers=config.keep_outliers,
             tolerance=config.gn_tolerance,
             backend=config.solver_backend,
+            min_num_inliers=config.min_num_inliers,
         )
     pose = solved_cam.world_in_camera  # frame k-1 expressed in frame k
 
@@ -373,6 +375,7 @@ def _track(
             ),
             keep_outliers=config.keep_outliers,
             warm_start=config.warm_start,
+            min_num_inliers=jnp.asarray(config.min_num_inliers, jnp.float32),
         )
         tri_apps_all = jax.vmap(lambda a, i: a[i])(rest.appearances, corr_all.idx2)
         outs = FrameOutput(

@@ -66,7 +66,7 @@ def _gather(rows: Array, oh: Array) -> Array:
 
 def _kernel(
     num_iterations,
-    scal_ref,       # SMEM (C, 39): params + K + iK + init pose, per chunk
+    scal_ref,       # SMEM (C, 40): params + K + iK + init pose, per chunk
     corr_ref,       # (3, S): idx1, idx2, valid            [chunk c, frame i]
     prev_ref,       # (2, S): prev-frame pixel coords       [chunk c, frame i]
     cur_ref,        # (2, S): current-frame pixel coords    [chunk c, frame i]
@@ -86,8 +86,9 @@ def _kernel(
     kt, keep_out = scal_ref[c, 4], scal_ref[c, 5]
     damping, tol = scal_ref[c, 6], scal_ref[c, 7]
     warm = scal_ref[c, 8]
-    k = tuple(scal_ref[c, 9 + j] for j in range(9))    # K row-major
-    ik = tuple(scal_ref[c, 18 + j] for j in range(9))  # K^-1 row-major
+    min_inl = scal_ref[c, 9]
+    k = tuple(scal_ref[c, 10 + j] for j in range(9))   # K row-major
+    ik = tuple(scal_ref[c, 19 + j] for j in range(9))  # K^-1 row-major
 
     # The grid is chunk-major (frames innermost), so i == 0 is the first
     # step of chunk c: re-seed the carried scratch from the chunk's own
@@ -97,7 +98,7 @@ def _kernel(
         lut_c[:, :] = init_lut_ref[:, :]
         tri_c[:, :] = init_tri_ref[:, :]
         for j in range(12):
-            pose_c[j] = scal_ref[c, 27 + j]
+            pose_c[j] = scal_ref[c, 28 + j]
 
     idx1 = corr_ref[0, :]
     idx2 = corr_ref[1, :]
@@ -144,7 +145,7 @@ def _kernel(
     )
     final = gn_loop(
         num_iterations, k, pose0, gwx, gwy, gwz, gmx, gmy, weight,
-        z_near, z_far, cols, rows, kt, keep_out, damping, tol,
+        z_near, z_far, cols, rows, kt, keep_out, damping, tol, min_inl,
     )
     new_pose = final[0:12]
     chi_in, chi_out, n_in = final[13], final[14], final[15]
@@ -238,6 +239,7 @@ def _run_batched(
     kernel_threshold: Array,  # (C,)
     damping: Array,           # (C,)
     tolerance: Array,         # (C,)
+    min_num_inliers: Array,   # (C,)
 ) -> Tuple[Array, Array, Array, Array]:
     """Chunk-batched fused tracking: grid (C, F), frames innermost.
 
@@ -258,7 +260,7 @@ def _run_batched(
     prev_t = prev_points.transpose(0, 1, 3, 2)            # (C, F, 2, S)
     cur_t = cur_points.transpose(0, 1, 3, 2)
 
-    def make_scal(cm, cp, x0, kt, dmp, tol):
+    def make_scal(cm, cp, x0, kt, dmp, tol, min_inl):
         return jnp.concatenate(
             [
                 cp.astype(jnp.float32),
@@ -269,6 +271,7 @@ def _run_batched(
                         dmp.astype(jnp.float32),
                         tol.astype(jnp.float32),
                         jnp.asarray(1.0 if warm_start else 0.0, jnp.float32),
+                        min_inl.astype(jnp.float32),
                     ]
                 ),
                 cm.reshape(9).astype(jnp.float32),
@@ -278,8 +281,9 @@ def _run_batched(
         )
 
     scal = jax.vmap(make_scal)(
-        camera_matrix, cam_params, x_init, kernel_threshold, damping, tolerance
-    )                                                     # (C, 39)
+        camera_matrix, cam_params, x_init, kernel_threshold, damping, tolerance,
+        min_num_inliers,
+    )                                                     # (C, 40)
     init_lut = init_lookup.astype(jnp.float32).reshape(c, s, 1)
     init_tri_rows = jnp.concatenate(
         [
@@ -351,12 +355,12 @@ def _fused_fn(num_iterations, keep_outliers, warm_start, interpret):
     def fn(
         camera_matrix, cam_params, x_init, init_lookup, init_tri, init_tri_ok,
         corr_idx1, corr_idx2, corr_valid, prev_points, cur_points,
-        kernel_threshold, damping, tolerance,
+        kernel_threshold, damping, tolerance, min_num_inliers,
     ):
         args = (
             camera_matrix, cam_params, x_init, init_lookup, init_tri,
             init_tri_ok, corr_idx1, corr_idx2, corr_valid, prev_points,
-            cur_points, kernel_threshold, damping, tolerance,
+            cur_points, kernel_threshold, damping, tolerance, min_num_inliers,
         )
         outs = _run_batched(
             num_iterations, keep_outliers, warm_start, interpret,
@@ -397,6 +401,7 @@ def track_frames_fused(
     keep_outliers: bool = False,
     warm_start: bool = False,
     interpret: bool = False,
+    min_num_inliers: Array = 0.0,
 ) -> Tuple[Array, Array, Array, Array]:
     """Run the whole F-frame tracking loop in one kernel launch.
 
@@ -424,4 +429,5 @@ def track_frames_fused(
         jnp.asarray(kernel_threshold, jnp.float32),
         jnp.asarray(damping, jnp.float32),
         jnp.asarray(tolerance, jnp.float32),
+        jnp.asarray(min_num_inliers, jnp.float32),
     )

@@ -257,7 +257,7 @@ def _transpose3(m):
 
 def gn_loop(
     num_iterations, k, pose0, wx, wy, wz, mx, my, wgt_in,
-    z_near, z_far, cols, rows, kt, keep_out, damping, tol,
+    z_near, z_far, cols, rows, kt, keep_out, damping, tol, min_inl=0.0,
 ):
     """The whole Gauss-Newton iteration as in-kernel lane/scalar code.
 
@@ -265,6 +265,11 @@ def gn_loop(
     data are (N,)-lane vectors. Returns the final while_loop carry:
     12 pose scalars, the active flag, chi_in, chi_out, n_in. Shared by the
     standalone PICP solve kernel and the fused frame-step kernel.
+
+    ``min_inl`` is the inlier floor of picp_solver.cpp:103-107: a round
+    whose inlier count falls below it applies no pose update and ends the
+    loop (the reference keeps re-running the identical skipped round, which
+    cannot change the state — exiting yields the same final pose/stats).
     """
 
     def cond(carry):
@@ -350,6 +355,8 @@ def gn_loop(
         t_r1 = tuple(x - y for x, y in zip(r1, _mat3vec(B, x2)))
         x1 = _mat3vec(Ai, t_r1)
         dx = x1 + x2
+        enough = new_n_in >= min_inl
+        dx = tuple(jnp.where(enough, d, 0.0) for d in dx)
         dx2 = sum(d * d for d in dx)
 
         # --- Euler-chart update X <- v2tEuler(dx) X (utils.h:73-78) ---
@@ -371,7 +378,7 @@ def gn_loop(
             r_new[0], r_new[1], r_new[2], t_new[0],
             r_new[3], r_new[4], r_new[5], t_new[1],
             r_new[6], r_new[7], r_new[8], t_new[2],
-            (dx2 > tol).astype(jnp.float32),
+            (enough & (dx2 > tol)).astype(jnp.float32),
             new_chi_in, new_chi_out, new_n_in,
         )
         return out
@@ -387,14 +394,15 @@ def gn_loop(
 def _solve_kernel(num_iterations, scal_ref, world_ref, meas_ref, w_ref, out_ref):
     z_near, z_far, cols, rows = scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3]
     kt, keep_out, damping, tol = scal_ref[4], scal_ref[5], scal_ref[6], scal_ref[7]
-    k = tuple(scal_ref[8 + i] for i in range(9))           # K row-major
-    pose0 = tuple(scal_ref[17 + i] for i in range(12))     # [R|t] row-major 3x4
+    min_inl = scal_ref[8]
+    k = tuple(scal_ref[9 + i] for i in range(9))           # K row-major
+    pose0 = tuple(scal_ref[18 + i] for i in range(12))     # [R|t] row-major 3x4
 
     final = gn_loop(
         num_iterations, k, pose0,
         world_ref[0, :], world_ref[1, :], world_ref[2, :],
         meas_ref[0, :], meas_ref[1, :], w_ref[0, :],
-        z_near, z_far, cols, rows, kt, keep_out, damping, tol,
+        z_near, z_far, cols, rows, kt, keep_out, damping, tol, min_inl,
     )
 
     row0 = jnp.stack(final[0:4])
@@ -423,6 +431,7 @@ def solve_fused(
     tolerance: Array,         # pass < 0 for the fixed-budget (no-exit) loop
     keep_outliers: bool = False,
     interpret: bool = False,
+    min_num_inliers: Array = 0.0,
 ) -> Tuple[Array, PICPStats]:
     """Whole PICP solve as one kernel. Returns (pose (4,4), stats).
 
@@ -447,6 +456,7 @@ def solve_fused(
                     jnp.asarray(1.0 if keep_outliers else 0.0, jnp.float32),
                     jnp.asarray(damping, jnp.float32),
                     jnp.asarray(tolerance, jnp.float32),
+                    jnp.asarray(min_num_inliers, jnp.float32),
                 ]
             ),
             camera_matrix.reshape(9).astype(jnp.float32),

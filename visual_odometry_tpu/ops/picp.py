@@ -125,16 +125,25 @@ def one_round(
     kernel_threshold: Array,
     damping: Array,
     keep_outliers: bool = False,
+    min_num_inliers: Array = 0,
 ) -> Tuple[Camera, PICPStats, Array]:
     """One GN round (picp_solver.cpp:98-112): linearize, damp, solve, update.
 
     Also returns the applied increment ``dx`` (6,) for convergence checks.
+    When the round's inlier count is below ``min_num_inliers`` the pose
+    update is skipped (picp_solver.cpp:103-107: the reference returns
+    ``false`` after linearizing, leaving the pose untouched); the stats
+    still reflect the linearization, and the returned ``dx`` is zero so
+    tolerance-based loops terminate (the reference would keep re-running
+    the identical skipped round, which changes nothing).
     """
     h, b, stats = linearize(
         camera, world_points, measured_points, weights, kernel_threshold, keep_outliers
     )
     h = h + damping * jnp.eye(6, dtype=h.dtype)
     dx = jnp.linalg.solve(h, -b)
+    enough = stats.num_inliers >= jnp.asarray(min_num_inliers, jnp.int32)
+    dx = jnp.where(enough, dx, jnp.zeros_like(dx))
     new_pose = se3.v2t_euler(dx) @ camera.world_in_camera
     return camera.with_pose(new_pose), stats, dx
 
@@ -150,6 +159,7 @@ def solve(
     keep_outliers: bool = False,
     tolerance: float = 0.0,
     backend: str = "auto",
+    min_num_inliers: int = 0,
 ) -> Tuple[Camera, PICPStats]:
     """Run up to ``num_iterations`` GN rounds as one on-device loop.
 
@@ -194,6 +204,7 @@ def solve(
             jnp.asarray(damping, jnp.float32),
             jnp.asarray(tolerance if tolerance > 0.0 else -1.0, jnp.float32),
             keep_outliers=keep_outliers,
+            min_num_inliers=jnp.asarray(min_num_inliers, jnp.float32),
         )
         return camera.with_pose(pose), stats
 
@@ -211,7 +222,8 @@ def solve(
         def body(_, carry):
             cam, _ = carry
             cam, stats, _dx = one_round(
-                cam, world_points, measured_points, weights, kt, dp, keep_outliers
+                cam, world_points, measured_points, weights, kt, dp, keep_outliers,
+                min_num_inliers,
             )
             return cam, stats
 
@@ -226,7 +238,8 @@ def solve(
     def body(carry):
         cam, _, it, _ = carry
         cam, stats, dx = one_round(
-            cam, world_points, measured_points, weights, kt, dp, keep_outliers
+            cam, world_points, measured_points, weights, kt, dp, keep_outliers,
+            min_num_inliers,
         )
         return cam, stats, it + 1, jnp.sum(dx * dx)
 

@@ -121,14 +121,22 @@ def one_round_se2(
     cam_in_robot: Array,
     cam_in_robot_inv: Array,
     keep_outliers: bool = False,
+    min_num_inliers: Array = 0,
 ) -> Tuple[Camera, PICPStats, Array]:
-    """One planar GN round: linearize, damp, 3x3 solve, conjugated update."""
+    """One planar GN round: linearize, damp, 3x3 solve, conjugated update.
+
+    The inlier floor (picp_solver.cpp:103-107) skips the pose update when
+    the round's inlier count is below ``min_num_inliers`` (same contract as
+    ``picp.one_round``).
+    """
     h, b, stats = linearize_se2(
         camera, world_points, measured_points, weights, kernel_threshold,
         cam_in_robot, keep_outliers,
     )
     h = h + damping * jnp.eye(3, dtype=h.dtype)
     dx = jnp.linalg.solve(h, -b)
+    enough = stats.num_inliers >= jnp.asarray(min_num_inliers, jnp.int32)
+    dx = jnp.where(enough, dx, jnp.zeros_like(dx))
     incr = cam_in_robot_inv @ se3.v2t_se2(dx) @ cam_in_robot
     return camera.with_pose(incr @ camera.world_in_camera), stats, dx
 
@@ -144,6 +152,7 @@ def solve_se2(
     keep_outliers: bool = False,
     tolerance: float = 0.0,
     cam_in_robot: Optional[Array] = None,
+    min_num_inliers: int = 0,
 ) -> Tuple[Camera, PICPStats]:
     """Planar PICP solve, same loop structure as the SE(3) ``picp.solve``.
 
@@ -169,7 +178,7 @@ def solve_se2(
             cam, _ = carry
             cam, stats, _dx = one_round_se2(
                 cam, world_points, measured_points, weights, kt, dp, c, c_inv,
-                keep_outliers,
+                keep_outliers, min_num_inliers,
             )
             return cam, stats
 
@@ -185,7 +194,7 @@ def solve_se2(
         cam, _, it, _ = carry
         cam, stats, dx = one_round_se2(
             cam, world_points, measured_points, weights, kt, dp, c, c_inv,
-            keep_outliers,
+            keep_outliers, min_num_inliers,
         )
         return cam, stats, it + 1, jnp.sum(dx * dx)
 

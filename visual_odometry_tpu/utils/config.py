@@ -93,7 +93,10 @@ class VOConfig:
     refine_damping: float = 1.0
 
     # --- numerics ---
-    dtype: str = "float32"
+    # All device arithmetic is float32, matching the reference's typedefs
+    # (defs.h:7-29); there is deliberately no dtype knob — GN/eigh numerics
+    # in this pipeline do not survive bf16, and f64 buys nothing (the
+    # reference itself is f32 end to end).
     # PICP solver backend: "pallas" = whole GN loop fused into one kernel
     # (ops/pallas/picp_kernel.solve_fused), "xla" = plain lax loop, "auto" =
     # pallas on TPU / xla elsewhere.
