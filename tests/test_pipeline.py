@@ -10,6 +10,8 @@ import os
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 from visual_odometry_tpu import apps
 from visual_odometry_tpu.utils import evaluation as ev
 from visual_odometry_tpu.utils import io
@@ -118,3 +120,100 @@ def test_known_da_pipeline(tmp_path):
     est = io.load_est_trajectory(os.path.join(out, "trajectory_est_data.txt"))
     res = ev.evaluate(est, gt_poses)
     assert res.rmse_position < 0.16
+
+
+def test_bootstrap_error_on_too_few_correspondences(rng):
+    """< 8 matches between the first pair must raise BootstrapError
+    (the reference exits, epipolar_utils.cpp:104-108)."""
+    import pytest
+
+    from visual_odometry_tpu.models import pipeline
+    from visual_odometry_tpu.utils import synthetic
+    from visual_odometry_tpu.utils.config import VOConfig
+
+    n = 32
+    cfg = VOConfig(n_slots=n, map_capacity=64)
+    apps0 = synthetic.generate_appearances(rng, n)
+    apps1 = synthetic.generate_appearances(rng, n)  # unrelated: no matches
+    pts = rng.uniform(0, 400, (n, 2)).astype(np.float32)
+    f0 = pipeline.FrameData(
+        jnp.asarray(pts), jnp.asarray(apps0), jnp.ones(n, bool),
+        jnp.arange(n, dtype=jnp.int32),
+    )
+    f1 = pipeline.FrameData(
+        jnp.asarray(pts), jnp.asarray(apps1), jnp.ones(n, bool),
+        jnp.arange(n, dtype=jnp.int32),
+    )
+    with pytest.raises(pipeline.BootstrapError):
+        pipeline.check_bootstrap(cfg, f0, f1)
+
+
+def test_bootstrap_warns_on_pure_rotation_pair(rng):
+    """A homography-explained (pure-rotation) first pair must surface the
+    degeneracy diagnostic as a warning."""
+    import pytest
+
+    from visual_odometry_tpu.models import pipeline
+    from visual_odometry_tpu.ops import se3
+    from visual_odometry_tpu.ops.camera import project_points
+    from visual_odometry_tpu.utils import synthetic
+    from visual_odometry_tpu.utils.config import VOConfig
+
+    n = 128
+    cfg = VOConfig(n_slots=n, map_capacity=256)
+    world = np.stack(
+        [
+            rng.uniform(-1.5, 1.5, n),
+            rng.uniform(-1.2, 1.2, n),
+            rng.uniform(2.0, 4.0, n),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    apps = jnp.asarray(synthetic.generate_appearances(rng, n))
+    rot_only = np.array(se3.v2t_euler(jnp.float32([0, 0, 0, 0.0, 0.05, 0.02])))
+    uv0, m0 = project_points(synthetic.default_camera(), jnp.asarray(world))
+    uv1, m1 = project_points(
+        synthetic.default_camera(rot_only), jnp.asarray(world)
+    )
+    ids = jnp.arange(n, dtype=jnp.int32)
+    f0 = pipeline.FrameData(uv0, apps, m0, ids)
+    f1 = pipeline.FrameData(uv1, apps, m1, ids)
+    with pytest.warns(RuntimeWarning, match="homography-explained"):
+        d = pipeline.check_bootstrap(cfg, f0, f1)
+    assert float(d.degeneracy_score) < pipeline.DEGENERACY_THRESHOLD
+    assert int(d.num_correspondences) >= 8
+
+
+def test_bootstrap_check_passes_on_real_parallax(rng):
+    """A well-conditioned pair passes without raising or warning."""
+    import warnings
+
+    from visual_odometry_tpu.models import pipeline
+    from visual_odometry_tpu.ops import se3
+    from visual_odometry_tpu.ops.camera import project_points
+    from visual_odometry_tpu.utils import synthetic
+    from visual_odometry_tpu.utils.config import VOConfig
+
+    n = 128
+    cfg = VOConfig(n_slots=n, map_capacity=256)
+    world = np.stack(
+        [
+            rng.uniform(-1.5, 1.5, n),
+            rng.uniform(-1.2, 1.2, n),
+            rng.uniform(2.0, 4.0, n),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    apps = jnp.asarray(synthetic.generate_appearances(rng, n))
+    moved = np.array(
+        se3.v2t_euler(jnp.float32([0.3, 0.1, 0.2, 0.01, 0.02, 0.01]))
+    )
+    uv0, m0 = project_points(synthetic.default_camera(), jnp.asarray(world))
+    uv1, m1 = project_points(synthetic.default_camera(moved), jnp.asarray(world))
+    ids = jnp.arange(n, dtype=jnp.int32)
+    f0 = pipeline.FrameData(uv0, apps, m0, ids)
+    f1 = pipeline.FrameData(uv1, apps, m1, ids)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        d = pipeline.check_bootstrap(cfg, f0, f1)
+    assert float(d.degeneracy_score) > pipeline.DEGENERACY_THRESHOLD

@@ -55,6 +55,19 @@ def _load(data_dir: str, config: VOConfig):
     return params, camera, seq
 
 
+def _check_bootstrap(config: VOConfig, seq, use_known_da: bool = False):
+    """Guard the serial pipeline's first frame pair (pipeline.check_bootstrap):
+    raises BootstrapError on < 8 correspondences — the reference's exit at
+    epipolar_utils.cpp:104-108 — and warns on a homography-degenerate pair."""
+    f0 = pipeline.FrameData(
+        seq.points[0], seq.appearances[0], seq.mask[0], seq.ids[0]
+    )
+    f1 = pipeline.FrameData(
+        seq.points[1], seq.appearances[1], seq.mask[1], seq.ids[1]
+    )
+    return pipeline.check_bootstrap(config, f0, f1, use_known_da)
+
+
 def run_vo_complete(
     data_dir: str,
     out_dir: str = ".",
@@ -89,6 +102,7 @@ def run_vo_complete(
             num_chunks=config.num_chunks, overlap=config.chunk_overlap,
         )
     else:
+        _check_bootstrap(config, seq)
         trajectory, map_state, outs = pipeline.run_sequence(
             camera, config, pts_d, apps_d, mask_d
         )
@@ -179,6 +193,7 @@ def run_vo_da_known(
     os.makedirs(out_dir, exist_ok=True)
     params, camera, seq = _load(data_dir, config)
 
+    _check_bootstrap(config, seq, use_known_da=True)
     t0 = time.perf_counter()
     trajectory, _, outs = pipeline.run_sequence_known_da(
         camera,
@@ -244,6 +259,7 @@ def run_real_init(data_dir: str, out_dir: str = ".", verbose: bool = True):
     _, world_points, _ = io.load_world(os.path.join(data_dir, "world.dat"))
     io.write_vectors(os.path.join(out_dir, "world.txt"), world_points)
 
+    _check_bootstrap(DEFAULT_CONFIG, seq, use_known_da=True)
     corr = pl_mod.match_by_ids(
         jnp.asarray(seq.ids[0]), jnp.asarray(seq.mask[0]),
         jnp.asarray(seq.ids[1]), jnp.asarray(seq.mask[1]),

@@ -119,6 +119,96 @@ def _lookup_from_corr(corr: matching.Correspondences, tri_ok: Array, n_slots: in
     return jnp.where(lut <= n_slots, lut, -1).astype(jnp.int32)
 
 
+class BootstrapError(RuntimeError):
+    """The two-view bootstrap cannot produce a usable initialization.
+
+    The TPU-native analogue of the reference's hard exits: < 8
+    correspondences aborts ``estimate_fundamental``
+    (epipolar_utils.cpp:104-108) and unreadable inputs abort the app
+    (vo_complete.cpp:95-107)."""
+
+
+class BootstrapDiagnostics(NamedTuple):
+    """Conditioning of the two-view bootstrap pair (no reference counterpart
+    beyond the <8 abort; the degeneracy score is this framework's own)."""
+
+    num_correspondences: Array  # () int32 valid matches between the frames
+    degeneracy_score: Array     # () f32 median homography transfer residual
+    #   (~0 => the pair is homography-explained: pure rotation / stationary /
+    #   planar-only, so the 8-point translation and monocular scale are
+    #   meaningless; see ops/epipolar.homography_transfer_residuals)
+
+
+# Below this median transfer residual (in the [-1,1]-normalized image frame)
+# a frame pair is considered homography-explained. Measured: real-parallax
+# pairs on example_data score ~1e-2, synthetic pure-rotation pairs < 1e-6;
+# 1e-4 sits two orders of magnitude from both.
+DEGENERACY_THRESHOLD = 1e-4
+
+
+@functools.partial(jax.jit, static_argnames=("config", "use_known_da"))
+def bootstrap_diagnostics(
+    config: VOConfig,
+    frame0: FrameData,
+    frame1: FrameData,
+    use_known_da: bool = False,
+) -> BootstrapDiagnostics:
+    """Match the bootstrap pair and score its two-view conditioning."""
+    corr = _match(config, use_known_da, frame0, frame1)
+    res, ok = epipolar.homography_transfer_residuals(
+        corr.idx1, corr.idx2, corr.valid,
+        frame0.points, frame1.points, frame0.mask, frame1.mask,
+    )
+    big = jnp.asarray(jnp.inf, res.dtype)
+    cnt = jnp.sum(ok.astype(jnp.int32))
+    med = jnp.sort(jnp.where(ok, res, big))[jnp.maximum(cnt - 1, 0) // 2]
+    return BootstrapDiagnostics(
+        num_correspondences=jnp.sum(corr.valid.astype(jnp.int32)),
+        degeneracy_score=jnp.where(cnt > 0, med, 0.0),
+    )
+
+
+def check_bootstrap(
+    config: VOConfig,
+    frame0: FrameData,
+    frame1: FrameData,
+    use_known_da: bool = False,
+    min_correspondences: int = 8,
+    degeneracy_threshold: float = DEGENERACY_THRESHOLD,
+) -> BootstrapDiagnostics:
+    """Host-side bootstrap guard for the serial pipeline's first pair.
+
+    Raises :class:`BootstrapError` when fewer than ``min_correspondences``
+    matches exist (the 8-point algorithm's hard floor — the reference
+    exits, epipolar_utils.cpp:104-108) and warns when the pair is
+    homography-explained (degenerate monocular bootstrap; the chunked
+    runner avoids such pairs via ``posegraph.bootstrap_scores``, the
+    serial pipeline has no alternative pair to pick). Returns the
+    diagnostics either way so apps can log them.
+    """
+    import warnings
+
+    d = bootstrap_diagnostics(config, frame0, frame1, use_known_da)
+    n = int(d.num_correspondences)
+    if n < min_correspondences:
+        raise BootstrapError(
+            f"two-view bootstrap needs >= {min_correspondences} "
+            f"correspondences, got {n} (reference aborts here, "
+            "epipolar_utils.cpp:104-108)"
+        )
+    score = float(d.degeneracy_score)
+    if score < degeneracy_threshold:
+        warnings.warn(
+            f"bootstrap pair is homography-explained (median transfer "
+            f"residual {score:.2e} < {degeneracy_threshold:.0e}): pure "
+            "rotation / stationary / planar-only motion makes the 8-point "
+            "translation and the monocular scale degenerate",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return d
+
+
 def initialize(
     camera: Camera,
     config: VOConfig,

@@ -64,6 +64,89 @@ def normalize_points(points: Array, mask: Array) -> Tuple[Array, Array]:
     return normalized, t
 
 
+def normalize_points_gauss(points: Array, mask: Array) -> Tuple[Array, Array]:
+    """Whitening normalization: zero mean, identity covariance; returns (p, T).
+
+    Mirrors ``normalizeGauss`` (epipolar_utils.cpp:67-101): mean and sample
+    covariance (1/(N-1)) over the VALID points, ``T = [[L^-1, -L^-1 mu],
+    [0, 1]]`` with ``L`` the lower Cholesky factor of the covariance, so
+    valid points map to ``L^-1 (p - mu)``. The reference leaves its
+    invalid (-1,-1) sentinels untouched; here masked slots pass through
+    unchanged. Statistics are computed with masked reductions (static
+    shapes), and a degenerate covariance (N < 2 or collinear points) falls
+    back to the identity transform instead of a NaN Cholesky.
+    """
+    m = mask.astype(points.dtype)
+    n = jnp.sum(m)
+    mu = jnp.sum(points * m[..., None], axis=-2) / jnp.maximum(n, 1.0)
+    c = (points - mu) * m[..., None]
+    sigma = (c.T @ c) / jnp.maximum(n - 1.0, 1.0)
+    # 2x2 lower Cholesky in closed form; guard degeneracy.
+    a = sigma[0, 0]
+    b = sigma[1, 0]
+    d = sigma[1, 1]
+    ok = (n >= 2.0) & (a > 0.0)
+    l00 = jnp.sqrt(jnp.where(ok, a, 1.0))
+    l10 = b / l00
+    s22 = d - l10 * l10
+    ok = ok & (s22 > 0.0)
+    l11 = jnp.sqrt(jnp.where(ok, s22, 1.0))
+    # inv(L) for lower-triangular 2x2.
+    i00 = 1.0 / l00
+    i11 = 1.0 / l11
+    i10 = -l10 * i00 * i11
+    inv_l = jnp.stack(
+        [jnp.stack([i00, jnp.zeros_like(i00)]), jnp.stack([i10, i11])]
+    )
+    w = jnp.where(ok, inv_l, jnp.eye(2, dtype=points.dtype))
+    shift = jnp.where(ok, -(w @ mu), jnp.zeros_like(mu))
+    t = jnp.eye(3, dtype=points.dtype)
+    t = t.at[:2, :2].set(w).at[:2, 2].set(shift)
+    whitened = points @ w.T + shift
+    out = jnp.where(mask[..., None], whitened, points)
+    return out, t
+
+
+def estimate_essential(
+    camera_matrix: Array,
+    idx1: Array,
+    idx2: Array,
+    corr_valid: Array,
+    p1_img: Array,
+    p2_img: Array,
+) -> Array:
+    """Direct essential-matrix estimate from calibrated ray directions.
+
+    Mirrors ``estimate_essential`` (epipolar_utils.cpp:9-46, marked "Not
+    used" at epipolar_utils.h:8): per correspondence, the calibrated
+    directions ``d1 = K^-1 [p1;1]``, ``d2 = K^-1 [p2;1]`` give the design
+    row ``vec(d1 d2^T)`` (row-major); the 9x9 normal-matrix accumulation is
+    one batched outer-product matmul here, and E is its smallest
+    eigenvector (same eigh + inverse-iteration polish as
+    :func:`estimate_fundamental`). Like the reference, no rank-2/singular-
+    value constraint is imposed (its constrained variant is commented out,
+    epipolar_utils.cpp:40-44). The reference aborts on < 8 correspondences
+    (epipolar_utils.cpp:10-13); this batched form is pure — callers check
+    :func:`count_valid_correspondences` (apps raise BootstrapError).
+    """
+    ik = jnp.linalg.inv(camera_matrix)
+    ones = jnp.ones(idx1.shape + (1,), p1_img.dtype)
+    d1 = jnp.concatenate([p1_img[idx1], ones], -1) @ ik.T  # (N, 3)
+    d2 = jnp.concatenate([p2_img[idx2], ones], -1) @ ik.T  # (N, 3)
+    rows = (d1[..., :, None] * d2[..., None, :]).reshape(idx1.shape + (9,))
+    rows = jnp.where(corr_valid[..., None], rows, 0.0)
+
+    ata = rows.T @ rows
+    _, vecs = jnp.linalg.eigh(ata)
+    v = vecs[:, 0]
+    ridge = 1e-12 * jnp.trace(ata)
+    ata_r = ata + ridge * jnp.eye(9, dtype=ata.dtype)
+    for _ in range(3):
+        v = jnp.linalg.solve(ata_r, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+    return v.reshape(3, 3)
+
+
 def estimate_fundamental(
     idx1: Array,
     idx2: Array,
