@@ -20,7 +20,11 @@ def main(small: bool = False) -> None:
     from visual_odometry_tpu.ops.pallas.matcher_kernel import best_match_pallas
 
     rng = np.random.default_rng(0)
-    sizes = [(1024, 8192)] if small else [(1024, 8192), (4096, 65536), (8192, 262144)]
+    sizes = (
+        [(1024, 8192)]
+        if small
+        else [(1024, 8192), (4096, 65536), (8192, 262144), (8192, 1048576)]
+    )
     reps = 3 if small else 10
 
     for q_n, k_n in sizes:

@@ -100,8 +100,18 @@ def _match(config: VOConfig, use_known_da: bool, ref: FrameData, cur: FrameData)
     if use_known_da:
         return match_by_ids(ref.ids, ref.mask, cur.ids, cur.mask)
     return matching.match_appearances(
-        ref.appearances, ref.mask, cur.appearances, cur.mask, config.match_radius
+        ref.appearances, ref.mask, cur.appearances, cur.mask,
+        config.match_radius, backend=_frame_matcher_backend(config),
     )
+
+
+def _frame_matcher_backend(config: VOConfig) -> str:
+    """Resolve the per-frame matcher backend: "auto" means the dense XLA
+    path at frame slot counts (best_match's auto threshold exists for
+    map-scale databases; a frame pair is far below it)."""
+    if config.matcher_backend == "auto" and config.n_slots < matching.PALLAS_MIN_DB:
+        return "xla"
+    return config.matcher_backend
 
 
 def _lookup_from_corr(corr: matching.Correspondences, tri_ok: Array, n_slots: int) -> Array:
@@ -381,7 +391,11 @@ def _batched_match(
     if use_known_da:
         return jax.vmap(match_by_ids)(prev.ids, prev.mask, frames.ids, frames.mask)
     return jax.vmap(
-        functools.partial(matching.match_appearances, radius=config.match_radius)
+        functools.partial(
+            matching.match_appearances,
+            radius=config.match_radius,
+            backend=_frame_matcher_backend(config),
+        )
     )(prev.appearances, prev.mask, frames.appearances, frames.mask)
 
 

@@ -28,11 +28,18 @@ Semantics preserved exactly:
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
+
+# "auto" backend switches to the streaming Pallas kernel at this database
+# row count: below it the dense (Q, K) matrix fits comfortably and XLA's
+# fused matmul+argmin wins; above it the O(Q*K) HBM intermediate is the
+# cost the kernel exists to remove (ops/pallas/matcher_kernel docstring).
+PALLAS_MIN_DB = 16384
 
 # Python literal, NOT jnp.float32(...): a module-level device scalar becomes
 # a runtime operand of every program that captures it, which blocks XLA from
@@ -84,12 +91,50 @@ def radius_search(
     return (d < r2) & q_mask[:, None] & db_mask[None, :]
 
 
+def best_match(
+    queries: Array,
+    q_mask: Array,
+    db: Array,
+    db_mask: Array,
+    backend: str = "auto",
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Top-1 nearest database row per query -> (sq_distance, index).
+
+    The backend-routed form of the kd-tree best-match queries
+    (``bestMatchFull``, eigen_kdtree.h:90-115 / ``bruteForceBestMatch``,
+    brute_force_search.h:22-41): "xla" computes the dense (Q, K) distance
+    matrix (gram matmul + first-argmin), "pallas" streams database tiles
+    through VMEM with the fused (min, argmin) reduction
+    (ops/pallas/matcher_kernel.best_match_pallas — O(Q + K) HBM traffic),
+    "auto" picks pallas on TPU once the database has >= PALLAS_MIN_DB rows.
+    Identical results either way: first index wins ties, masked queries
+    return _BIG, masked database rows never win.
+    """
+    if backend == "auto":
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu" and db.shape[0] >= PALLAS_MIN_DB
+            else "xla"
+        )
+    if backend == "pallas":
+        from .pallas.matcher_kernel import best_match_pallas
+
+        return best_match_pallas(queries, q_mask, db, db_mask, interpret=interpret)
+    d = pairwise_sq_dists(queries, db)
+    d = jnp.where(q_mask[:, None] & db_mask[None, :], d, _BIG)
+    idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+    return jnp.min(d, axis=1), idx
+
+
 def match_appearances(
     app1: Array,
     mask1: Array,
     app2: Array,
     mask2: Array,
     radius: float = 0.1,
+    backend: str = "xla",
+    interpret: bool = False,
 ) -> Correspondences:
     """Frame-to-frame data association; returns (frame-1 idx, frame-2 idx) pairs.
 
@@ -104,26 +149,34 @@ def match_appearances(
     the kd side, matching std::minmax at vo_complete.cpp:15-33); both
     variants are computed branchlessly from the same distance matrix and
     selected with ``where`` — the distance matrix is the entire cost anyway.
+
+    ``backend`` routes the top-1 searches like :func:`best_match`
+    ("xla" default: frame slot counts are small, the shared dense matrix
+    is cheapest; "pallas"/"auto" run two streaming-kernel passes instead —
+    only worth it for very large per-frame slot counts).
     """
     if app1.shape[0] != app2.shape[0]:
         raise ValueError("padded frames must share a slot count for static shapes")
     n = app1.shape[0]
-    d = pairwise_sq_dists(app1, app2)  # (N1, N2): rows frame 1, cols frame 2
-    d = jnp.where(mask1[:, None] & mask2[None, :], d, _BIG)
-
-    r2 = jnp.asarray(radius, d.dtype) ** 2
+    r2 = jnp.asarray(radius, app1.dtype) ** 2
     slots = jnp.arange(n, dtype=jnp.int32)
 
     n1 = jnp.sum(mask1.astype(jnp.int32))
     n2 = jnp.sum(mask2.astype(jnp.int32))
     kd_is_1 = n1 >= n2  # frame 1 has >= points -> tree over frame 1
 
-    # Variant A: kd = frame 1, query = frame 2 (one slot per frame-2 point).
-    best1 = jnp.argmin(d, axis=0).astype(jnp.int32)  # (N2,)
-    best1_d = jnp.min(d, axis=0)
-    # Variant B: kd = frame 2, query = frame 1 (one slot per frame-1 point).
-    best2 = jnp.argmin(d, axis=1).astype(jnp.int32)  # (N1,)
-    best2_d = jnp.min(d, axis=1)
+    if backend == "xla":
+        d = pairwise_sq_dists(app1, app2)  # (N1, N2): rows frame 1, cols frame 2
+        d = jnp.where(mask1[:, None] & mask2[None, :], d, _BIG)
+        # Variant A: kd = frame 1, query = frame 2 (one slot per frame-2 point).
+        best1 = jnp.argmin(d, axis=0).astype(jnp.int32)  # (N2,)
+        best1_d = jnp.min(d, axis=0)
+        # Variant B: kd = frame 2, query = frame 1 (one slot per frame-1 point).
+        best2 = jnp.argmin(d, axis=1).astype(jnp.int32)  # (N1,)
+        best2_d = jnp.min(d, axis=1)
+    else:
+        best1_d, best1 = best_match(app2, mask2, app1, mask1, backend, interpret)
+        best2_d, best2 = best_match(app1, mask1, app2, mask2, backend, interpret)
 
     idx1 = jnp.where(kd_is_1, best1, slots)
     idx2 = jnp.where(kd_is_1, slots, best2)

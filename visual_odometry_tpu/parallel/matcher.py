@@ -23,18 +23,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.matching import pairwise_sq_dists
+from ..ops import matching
 
 Array = jnp.ndarray
 
 _BIG = 3.4e38  # Python literal: a module-level device scalar blocks XLA constant folding
-
-
-def _local_top1(db: Array, db_mask: Array, queries: Array, q_mask: Array):
-    d = pairwise_sq_dists(queries, db)  # (Q, L_local)
-    d = jnp.where(q_mask[:, None] & db_mask[None, :], d, _BIG)
-    best = jnp.argmin(d, axis=1).astype(jnp.int32)
-    return d[jnp.arange(queries.shape[0]), best], best
 
 
 def sharded_best_match(
@@ -45,11 +38,15 @@ def sharded_best_match(
     q_mask: Array,      # (Q,)
     radius: float = 0.1,
     axis: str = "lm",
+    backend: str = "auto",
 ) -> Tuple[Array, Array]:
     """Global top-1 match per query -> (global db index | -1, sq distance).
 
     Semantics match ``ops.matching``: strict ``d^2 < radius^2`` acceptance,
-    first global minimum wins ties.
+    first global minimum wins ties. ``backend`` routes each device's local
+    top-1 through ``ops.matching.best_match`` — under "auto" the local
+    shard runs the streaming Pallas kernel on TPU once its share of the
+    database reaches ``matching.PALLAS_MIN_DB`` rows.
     """
     l_total = db.shape[0]
     n_shards = mesh.shape[axis]
@@ -64,7 +61,7 @@ def sharded_best_match(
         out_specs=(P(), P()),
     )
     def _match(db_s, db_mask_s, q, qm):
-        dist, idx_local = _local_top1(db_s, db_mask_s, q, qm)
+        dist, idx_local = matching.best_match(q, qm, db_s, db_mask_s, backend)
         shard = jax.lax.axis_index(axis)
         idx_global = idx_local + shard * l_local
         # Min-reduce (distance, index) over the landmark axis: first take

@@ -52,6 +52,13 @@ class VOConfig:
 
     # --- data association ---
     match_radius: float = 0.1
+    # Top-1 matcher backend (ops/matching.best_match): "xla" = dense
+    # gram-matrix + argmin, "pallas" = streaming VMEM kernel with fused
+    # (min, argmin) — O(Q+K) HBM traffic, the large-database winner —
+    # "auto" = pallas on TPU once the database side reaches
+    # matching.PALLAS_MIN_DB rows (at per-frame slot counts auto stays on
+    # the dense path, which is faster there).
+    matcher_backend: str = "auto"
 
     # --- estimation group (reference branch est_SE2, README.md:13) ---
     # planar=True constrains the per-frame solve to SE(2) increments acting
