@@ -58,6 +58,49 @@ def default_camera(world_in_camera=None) -> Camera:
     return Camera.create(k, world_in_camera, rows=480, cols=640, z_near=0, z_far=5)
 
 
+def generate_tracking_sequence(
+    rng: np.random.Generator,
+    num_frames: int,
+    n_slots: int,
+    seed_motion: float = 1.0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """A trackable synthetic sequence: (points (F,S,2), apps (F,S,D), masks).
+
+    A fixed landmark field observed by a camera on a smooth forward+turn
+    path (every consecutive pair has real parallax, so the two-view
+    bootstrap is well conditioned). Appearances are the per-landmark unique
+    keys (utils.cpp:127 semantics). Used by the scaling benchmarks and the
+    multi-device dryruns.
+    """
+    import jax.numpy as jnp
+
+    from ..ops import se3
+
+    world = np.stack(
+        [
+            rng.uniform(-1.5, 1.5, n_slots),
+            rng.uniform(-1.2, 1.2, n_slots),
+            rng.uniform(2.0, 4.0, n_slots),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    apps = generate_appearances(rng, n_slots)
+    pts, masks = [], []
+    for i in range(num_frames):
+        v = seed_motion * np.float32(
+            [0.05 * i, -0.02 * i, 0.08 * i, 0.005 * i, -0.005 * i, 0.0025 * i]
+        )
+        pose = np.array(se3.v2t_euler(jnp.asarray(v)))
+        uv, valid = project_points(default_camera(pose), world)
+        pts.append(np.asarray(uv))
+        masks.append(np.asarray(valid))
+    return (
+        np.stack(pts),
+        np.tile(apps[None], (num_frames, 1, 1)),
+        np.stack(masks),
+    )
+
+
 def two_view_scene(
     rng: np.random.Generator, num_points: int = 1000
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
