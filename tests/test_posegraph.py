@@ -165,3 +165,28 @@ def test_chunked_sharded_over_mesh(real_seq):
         "fji,fjk->fik", np.asarray(traj_m)[:, :3, :3], np.asarray(traj_1)[:, :3, :3]
     )
     assert np.all(3.0 - np.trace(rot_dev, axis1=1, axis2=2) < 1e-4)
+
+
+def test_refined_stitch_beats_reference_for_every_chunk_count(real_seq):
+    """BA relaxation of the stitched result (posegraph.refine_stitched)
+    absorbs the per-boundary scale-chain noise: every chunk count in the
+    README table must land at RMSE <= 0.15 (reference baseline 0.1453,
+    evaluate.cpp:43-53 metric)."""
+    params, camera, seq, gt = real_seq
+    cfg = VOConfig()
+    pts = jnp.asarray(seq.points)
+    apps = jnp.asarray(seq.appearances)
+    mask = jnp.asarray(seq.mask)
+
+    rmses = {}
+    for c in (2, 3, 4, 5, 6):
+        traj, _, _ = posegraph.run_sequence_chunked(
+            camera, cfg, pts, apps, mask, num_chunks=c, overlap=12,
+            refine_iterations=5,
+        )
+        est = _abs_robot_poses(np.asarray(traj), params.cam_in_robot)
+        res = evaluation.evaluate(est, gt)
+        finite = np.isfinite(res.orientation_errors)
+        assert np.abs(res.orientation_errors[finite]).mean() < 1e-4
+        rmses[c] = res.rmse_position
+    assert all(r <= 0.15 for r in rmses.values()), rmses

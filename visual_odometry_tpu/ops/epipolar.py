@@ -64,6 +64,32 @@ def normalize_points(points: Array, mask: Array) -> Tuple[Array, Array]:
     return normalized, t
 
 
+def _null_vector(ata: Array, iters: int = 3) -> Array:
+    """Unit null vector of a PSD normal matrix, robust in f32.
+
+    eigh's f32 null vector carries ~1e-3 error (fatal for the downstream
+    essential decomposition; CPU LAPACK gives ~1e-5), so it is polished by
+    inverse iteration, which contracts the error by (lambda_0+ridge)/
+    (lambda_1+ridge) per step and is self-correcting under inexact f32
+    solves. The ridge must dominate eigh's f32 eigenvalue roundoff: the
+    smallest eigenvalue comes back as large as ~|1e-7 * lambda_max| and
+    NEGATIVE on real data (measured -5.1e-7 on a sparse 13-correspondence
+    frame pair), and an LU solve through that near-singular indefinite
+    matrix can emit NaN — 1e-6 * trace sits two orders above the roundoff
+    and two below any usable lambda_1. A non-finite polish result (truly
+    rank-deficient ata) falls back to the unpolished eigh vector.
+    """
+    _, vecs = jnp.linalg.eigh(ata)
+    v0 = vecs[:, 0]
+    ridge = 1e-6 * jnp.trace(ata)
+    ata_r = ata + ridge * jnp.eye(ata.shape[0], dtype=ata.dtype)
+    v = v0
+    for _ in range(iters):
+        v = jnp.linalg.solve(ata_r, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+    return jnp.where(jnp.all(jnp.isfinite(v)), v, v0)
+
+
 def normalize_points_gauss(points: Array, mask: Array) -> Tuple[Array, Array]:
     """Whitening normalization: zero mean, identity covariance; returns (p, T).
 
@@ -137,14 +163,7 @@ def estimate_essential(
     rows = jnp.where(corr_valid[..., None], rows, 0.0)
 
     ata = rows.T @ rows
-    _, vecs = jnp.linalg.eigh(ata)
-    v = vecs[:, 0]
-    ridge = 1e-12 * jnp.trace(ata)
-    ata_r = ata + ridge * jnp.eye(9, dtype=ata.dtype)
-    for _ in range(3):
-        v = jnp.linalg.solve(ata_r, v)
-        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
-    return v.reshape(3, 3)
+    return _null_vector(ata).reshape(3, 3)
 
 
 def estimate_fundamental(
@@ -173,20 +192,7 @@ def estimate_fundamental(
     rows = jnp.where(corr_valid[..., None], rows, 0.0)
 
     ata = rows.T @ rows  # (9, 9) normal matrix — one small MXU matmul
-    _, vecs = jnp.linalg.eigh(ata)
-    v = vecs[:, 0]
-    # Inverse-iteration polish: TPU's f32 eigh leaves ~1e-3 error in the
-    # null vector (measured; CPU LAPACK gives ~1e-5), which is fatal for
-    # the downstream essential decomposition. Each inverse-power step
-    # contracts the error by lambda_0/lambda_1 (~1e-4 on real frames), and
-    # inverse iteration is self-correcting under inexact f32 solves. The
-    # tiny ridge keeps the solve defined when the null space is exact.
-    ridge = 1e-12 * jnp.trace(ata)
-    ata_r = ata + ridge * jnp.eye(9, dtype=ata.dtype)
-    for _ in range(3):
-        v = jnp.linalg.solve(ata_r, v)
-        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
-    f_approx = v.reshape(3, 3)
+    f_approx = _null_vector(ata).reshape(3, 3)
 
     # Re-impose rank 2 (epipolar_utils.cpp:133-141).
     u, s, vt = jnp.linalg.svd(f_approx, full_matrices=True)
@@ -267,14 +273,7 @@ def homography_transfer_residuals(
     rows = jnp.where(jnp.concatenate([corr_valid, corr_valid])[:, None], rows, 0.0)
 
     ata = rows.T @ rows
-    _, vecs = jnp.linalg.eigh(ata)
-    v = vecs[:, 0]
-    ridge = 1e-12 * jnp.trace(ata)
-    ata_r = ata + ridge * jnp.eye(9, dtype=ata.dtype)
-    for _ in range(2):
-        v = jnp.linalg.solve(ata_r, v)
-        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
-    h = v.reshape(3, 3)
+    h = _null_vector(ata, iters=2).reshape(3, 3)
 
     px = h[0, 0] * x1 + h[0, 1] * y1 + h[0, 2]
     py = h[1, 0] * x1 + h[1, 1] * y1 + h[1, 2]
