@@ -83,7 +83,30 @@ def main() -> int:
 
     fps = n_frames / best
 
-    # Guard: throughput only counts at reference-level accuracy.
+    # Guard 1: compiled-kernel correctness on THIS chip. Every Pallas
+    # kernel (whole-GN-loop solver, fused frame loop, streaming matcher)
+    # is compared against its XLA twin in compiled mode — a fast-but-wrong
+    # Mosaic lowering fails the bench directly instead of riding on the
+    # end-to-end accuracy numbers.
+    from visual_odometry_tpu.utils import selfcheck
+
+    try:
+        selfcheck.run_all()
+    except AssertionError as e:
+        print(
+            json.dumps(
+                {
+                    "metric": "vo_pipeline_throughput",
+                    "value": 0.0,
+                    "unit": "frames/s",
+                    "vs_baseline": 0.0,
+                    "error": f"pallas selfcheck failed: {e}",
+                }
+            )
+        )
+        return 1
+
+    # Guard 2: throughput only counts at reference-level accuracy.
     res = apps.run_evaluation(DATA_DIR, out_dir, verbose=False)
     finite = np.isfinite(res.orientation_errors)
     e_theta = float(np.abs(res.orientation_errors[finite]).mean())

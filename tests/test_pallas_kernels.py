@@ -150,3 +150,14 @@ def test_solve_fused_matches_xla_solve(rng):
             np.asarray(pose), np.asarray(solved.world_in_camera), atol=5e-5
         )
         assert int(st.num_inliers) == int(st2.num_inliers)
+
+
+def test_selfcheck_runs_in_interpret_mode():
+    """The packaged backend-equality self-check (utils/selfcheck, run on
+    the real chip by bench.py) passes through the Pallas interpreter."""
+    from visual_odometry_tpu.utils import selfcheck
+
+    diffs = selfcheck.run_all(interpret=True)
+    assert diffs["matcher_dist_diff"] == 0.0
+    assert diffs["picp_pose_diff_fixed"] < 5e-4
+    assert diffs["frame_traj_diff"] < 5e-4

@@ -448,6 +448,13 @@ def _track(
             else "xla"
         )
 
+    # "fused_interpret" runs the same fused kernel through the Pallas
+    # interpreter — the CPU-testable form of the fused path (used by
+    # utils/selfcheck and the kernel equality tests).
+    fused_interpret = backend == "fused_interpret"
+    if fused_interpret:
+        backend = "fused"
+
     if backend == "fused":
         # The whole frame loop as ONE kernel launch (ops/pallas/frame_kernel):
         # the scan form costs ~38 device kernels per frame in sequencing
@@ -480,6 +487,7 @@ def _track(
             keep_outliers=config.keep_outliers,
             warm_start=config.warm_start,
             min_num_inliers=jnp.asarray(config.min_num_inliers, jnp.float32),
+            interpret=fused_interpret,
         )
         tri_apps_all = jax.vmap(lambda a, i: a[i])(rest.appearances, corr_all.idx2)
         outs = FrameOutput(

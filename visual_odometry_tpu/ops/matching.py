@@ -63,12 +63,27 @@ class Correspondences(NamedTuple):
 
 
 def pairwise_sq_dists(a: Array, b: Array) -> Array:
-    """(N, D), (M, D) -> (N, M) squared euclidean distances via the gram trick."""
+    """(N, D), (M, D) -> (N, M) squared euclidean distances via the gram trick.
+
+    The descriptor axis is zero-padded to the 128-lane width before the
+    gram matmul: XLA's "dot strength reduction" can otherwise lower a
+    small-K batched dot to a dilated CONVOLUTION (observed when this op is
+    batched inside the tracking program: the D=10 gram became a
+    window-119 conv at highest precision, ~30x slower than the padded
+    MXU matmul, which contracts 128 lanes regardless). Zero columns leave
+    every distance bit-identical.
+    """
     a2 = jnp.sum(a * a, -1)
     b2 = jnp.sum(b * b, -1)
+    pad = -a.shape[-1] % 128
+    if pad:
+        # Norms are computed on the unpadded rows (identical reduction
+        # order as before); the gram's zero columns contribute exact 0.0.
+        a = jnp.pad(a, ((0, 0), (0, pad)))
+        b = jnp.pad(b, ((0, 0), (0, pad)))
     gram = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
-    d = a2[:, None] + b2[None, :] - 2.0 * gram
-    return jnp.maximum(d, 0.0)
+    dist = a2[:, None] + b2[None, :] - 2.0 * gram
+    return jnp.maximum(dist, 0.0)
 
 
 def radius_search(

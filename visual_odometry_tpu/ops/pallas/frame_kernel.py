@@ -5,10 +5,12 @@ kernels per frame (gathers, the solver custom-call, triangulation fusions,
 scatter updates); at 119 sequential frames the per-kernel sequencing
 overhead dominates the program (~4 ms of a 5.7 ms trace). Here the whole
 frame loop — lookup-join, Gauss-Newton PICP, mid-point triangulation and
-the first-wins lookup scatter — runs inside ONE kernel launched once, with
-a sequential TPU grid over frames and the carried state (pose, previous
-triangulation, measurement->slot lookup) living in VMEM/SMEM scratch that
-persists across grid steps.
+the first-wins lookup scatter — runs inside ONE kernel launched once, as
+an in-kernel ``fori_loop`` over VMEM-resident per-frame blocks with the
+carried state (pose, previous triangulation, measurement->slot lookup) in
+loop carries. (A sequential grid over frames pays ~25 us of Mosaic
+sequencing per step — 10x the actual per-frame compute; the in-kernel
+loop pays it once.)
 
 Reference semantics reproduced (same contracts as models/pipeline.frame_step,
 citations therein): the join of vo_complete.cpp:52-66, the solver of
@@ -66,20 +68,28 @@ def _gather(rows: Array, oh: Array) -> Array:
 
 def _kernel(
     num_iterations,
+    num_frames,
     scal_ref,       # SMEM (C, 40): params + K + iK + init pose, per chunk
-    corr_ref,       # (3, S): idx1, idx2, valid            [chunk c, frame i]
-    prev_ref,       # (2, S): prev-frame pixel coords       [chunk c, frame i]
-    cur_ref,        # (2, S): current-frame pixel coords    [chunk c, frame i]
+    corr_ref,       # (F, 3, S): idx1, idx2, valid rows per frame   [chunk c]
+    prev_ref,       # (F, 2, S): prev-frame pixel coords            [chunk c]
+    cur_ref,        # (F, 2, S): current-frame pixel coords         [chunk c]
     init_lut_ref,   # (S, 1): initial lookup column (f32, -1 = none) [chunk c]
     init_tri_ref,   # (4, S): initial tri x/y/z/ok rows              [chunk c]
-    out_ref,        # (8, S): pose row, stats row, tri x/y/z/ok rows
-    lut_c,          # scratch (S, 1)
-    tri_c,          # scratch (4, S): x, y, z, ok
-    pose_c,         # scratch SMEM (12,)
+    out_ref,        # (F, 8, S): pose row, stats row, tri x/y/z/ok rows
 ):
+    """One chunk's ENTIRE frame loop in one grid step.
+
+    The previous formulation ran one grid step per frame; at ~2 us of
+    actual per-frame compute the fixed Mosaic grid-step sequencing cost
+    (~25 us/step measured on v5e) dominated the whole tracking program.
+    Here the frame axis is an in-kernel ``fori_loop`` over VMEM-resident
+    per-frame blocks (a 121-frame sequence is ~1.5 MB — far below VMEM),
+    so the sequencing cost is paid ONCE per chunk and the carried state
+    (pose scalars, lookup column, triangulation rows) lives in loop
+    carries instead of cross-step scratch.
+    """
     c = pl.program_id(0)
-    i = pl.program_id(1)
-    s = corr_ref.shape[1]
+    s = corr_ref.shape[-1]
 
     z_near, z_far = scal_ref[c, 0], scal_ref[c, 1]
     cols, rows = scal_ref[c, 2], scal_ref[c, 3]
@@ -90,134 +100,132 @@ def _kernel(
     k = tuple(scal_ref[c, 10 + j] for j in range(9))   # K row-major
     ik = tuple(scal_ref[c, 19 + j] for j in range(9))  # K^-1 row-major
 
-    # The grid is chunk-major (frames innermost), so i == 0 is the first
-    # step of chunk c: re-seed the carried scratch from the chunk's own
-    # initial state.
-    @pl.when(i == 0)
-    def _():
-        lut_c[:, :] = init_lut_ref[:, :]
-        tri_c[:, :] = init_tri_ref[:, :]
-        for j in range(12):
-            pose_c[j] = scal_ref[c, 28 + j]
+    def frame_body(i, carry):
+        lut_col, tri_rows, *pose = carry
 
-    idx1 = corr_ref[0, :]
-    idx2 = corr_ref[1, :]
-    cvalid = corr_ref[2, :]
+        idx1 = corr_ref[i, 0, :]
+        idx2 = corr_ref[i, 1, :]
+        cvalid = corr_ref[i, 2, :]
 
-    pose = tuple(pose_c[j] for j in range(12))  # frame k-1 in frame k (x_curr)
+        # ---- lookup-join (vo_complete.cpp:52-66 / pipeline.frame_step) --
+        # tri_in_prev = x_curr * tri  (vo_complete.cpp:159), rows (3, S).
+        tx, ty, tz = tri_rows[0, :], tri_rows[1, :], tri_rows[2, :]
+        tok = tri_rows[3, :]
+        px = pose[0] * tx + pose[1] * ty + pose[2] * tz + pose[3]
+        py = pose[4] * tx + pose[5] * ty + pose[6] * tz + pose[7]
+        pz = pose[8] * tx + pose[9] * ty + pose[10] * tz + pose[11]
 
-    # ---- lookup-join (vo_complete.cpp:52-66 / pipeline.frame_step) ----
-    # tri_in_prev = x_curr * tri  (vo_complete.cpp:159), rows (3, S).
-    tx, ty, tz = tri_c[0, :], tri_c[1, :], tri_c[2, :]
-    tok = tri_c[3, :]
-    px = pose[0] * tx + pose[1] * ty + pose[2] * tz + pose[3]
-    py = pose[4] * tx + pose[5] * ty + pose[6] * tz + pose[7]
-    pz = pose[8] * tx + pose[9] * ty + pose[10] * tz + pose[11]
+        oh1 = _onehot(idx1.reshape(1, s), s)
+        # lookup[idx1]: the carried column broadcast against the one-hot,
+        # folded with a sublane reduction (exact — one live element per
+        # column).
+        world_slot = jnp.sum(lut_col * oh1, axis=0)
+        has_world = (cvalid > 0.5) & (world_slot >= 0.0)
+        safe_slot = jnp.where(has_world, world_slot, 0.0)
 
-    oh1 = _onehot(idx1.reshape(1, s), s)
-    # lookup[idx1]: the carried column broadcast against the one-hot, folded
-    # with a sublane reduction (exact — one live element per column).
-    world_slot = jnp.sum(lut_c[:, :] * oh1, axis=0)
-    has_world = (cvalid > 0.5) & (world_slot >= 0.0)
-    safe_slot = jnp.where(has_world, world_slot, 0.0)
+        ohs = _onehot(safe_slot.reshape(1, s), s)
+        g = _gather(jnp.stack([px, py, pz, tok]), ohs)      # (4, S)
+        wx, wy, wz, sok = g[0, :], g[1, :], g[2, :], g[3, :]
+        weight = has_world.astype(jnp.float32) * sok
 
-    ohs = _onehot(safe_slot.reshape(1, s), s)
-    g = _gather(jnp.stack([px, py, pz, tok]), ohs)      # (4, S)
-    wx, wy, wz, sok = g[0, :], g[1, :], g[2, :], g[3, :]
-    weight = has_world.astype(jnp.float32) * sok
+        oh2 = _onehot(idx2.reshape(1, s), s)
+        mcur = _gather(cur_ref[i], oh2)                     # (2, S) measured
+        mx, my = mcur[0, :], mcur[1, :]
 
-    oh2 = _onehot(idx2.reshape(1, s), s)
-    mcur = _gather(cur_ref[:, :], oh2)                  # (2, S) measured
-    mx, my = mcur[0, :], mcur[1, :]
+        # ---- PICP Gauss-Newton (picp_solver.cpp:98-112, early-exit) ----
+        # Sanitize dead slots exactly like ops.picp.solve: 0 * NaN = NaN
+        # would poison the in-loop H/b lane reductions.
+        live = weight > 0.0
+        gwx = jnp.where(live, wx, 1.0)
+        gwy = jnp.where(live, wy, 1.0)
+        gwz = jnp.where(live, wz, 1.0)
+        gmx = jnp.where(live, mx, 0.0)
+        gmy = jnp.where(live, my, 0.0)
+        eye = (1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0)
+        pose0 = tuple(
+            jnp.where(warm > 0.5, pose[j], eye[j]) for j in range(12)
+        )
+        final = gn_loop(
+            num_iterations, k, pose0, gwx, gwy, gwz, gmx, gmy, weight,
+            z_near, z_far, cols, rows, kt, keep_out, damping, tol, min_inl,
+        )
+        new_pose = final[0:12]
+        chi_in, chi_out, n_in = final[13], final[14], final[15]
 
-    # ---- PICP Gauss-Newton (picp_solver.cpp:98-112, early-exit loop) ----
-    # Sanitize dead slots exactly like ops.picp.solve: 0 * NaN = NaN would
-    # poison the in-loop H/b lane reductions.
-    live = weight > 0.0
-    gwx = jnp.where(live, wx, 1.0)
-    gwy = jnp.where(live, wy, 1.0)
-    gwz = jnp.where(live, wz, 1.0)
-    gmx = jnp.where(live, mx, 0.0)
-    gmy = jnp.where(live, my, 0.0)
-    eye = (1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0)
-    pose0 = tuple(
-        jnp.where(warm > 0.5, pose[j], eye[j]) for j in range(12)
-    )
-    final = gn_loop(
-        num_iterations, k, pose0, gwx, gwy, gwz, gmx, gmy, weight,
-        z_near, z_far, cols, rows, kt, keep_out, damping, tol, min_inl,
-    )
-    new_pose = final[0:12]
-    chi_in, chi_out, n_in = final[13], final[14], final[15]
+        # ---- mid-point triangulation, prev-frame coords (utils.cpp:36-76) -
+        p1 = _gather(prev_ref[i], oh1)                      # (2, S) image-1
+        u1, v1 = p1[0, :], p1[1, :]
+        u2, v2 = mx, my
+        # i_x = inverse(new_pose): R^T, -R^T t.
+        r = (new_pose[0], new_pose[1], new_pose[2],
+             new_pose[4], new_pose[5], new_pose[6],
+             new_pose[8], new_pose[9], new_pose[10])
+        rt = _transpose3(r)
+        t_vec = (new_pose[3], new_pose[7], new_pose[11])
+        it = tuple(-x for x in _mat3vec(rt, t_vec))
+        ir_ik = _mat3mul(rt, ik)
+        d1x = ik[0] * u1 + ik[1] * v1 + ik[2]
+        d1y = ik[3] * u1 + ik[4] * v1 + ik[5]
+        d1z = ik[6] * u1 + ik[7] * v1 + ik[8]
+        d2x = ir_ik[0] * u2 + ir_ik[1] * v2 + ir_ik[2]
+        d2y = ir_ik[3] * u2 + ir_ik[4] * v2 + ir_ik[5]
+        d2z = ir_ik[6] * u2 + ir_ik[7] * v2 + ir_ik[8]
+        a00 = d1x * d1x + d1y * d1y + d1z * d1z
+        a01 = -(d1x * d2x + d1y * d2y + d1z * d2z)
+        a11 = d2x * d2x + d2y * d2y + d2z * d2z
+        b0 = d1x * it[0] + d1y * it[1] + d1z * it[2]
+        b1 = -(d2x * it[0] + d2y * it[1] + d2z * it[2])
+        det = a00 * a11 - a01 * a01
+        safe_det = jnp.where(jnp.abs(det) < _DET_EPS, 1.0, det)
+        s0 = (a11 * b0 - a01 * b1) / safe_det
+        s1 = (a00 * b1 - a01 * b0) / safe_det
+        new_ok = (
+            (cvalid > 0.5) & (s0 >= 0.0) & (s1 >= 0.0)
+            & (jnp.abs(det) >= _DET_EPS)
+        )
+        okf = new_ok.astype(jnp.float32)
+        # where(), not multiply-by-mask: garbage lanes may be non-finite.
+        ntx = jnp.where(new_ok, 0.5 * (s0 * d1x + it[0] + s1 * d2x), 0.0)
+        nty = jnp.where(new_ok, 0.5 * (s0 * d1y + it[1] + s1 * d2y), 0.0)
+        ntz = jnp.where(new_ok, 0.5 * (s0 * d1z + it[2] + s1 * d2z), 0.0)
 
-    # ---- mid-point triangulation in prev-frame coords (utils.cpp:36-76) --
-    p1 = _gather(prev_ref[:, :], oh1)                   # (2, S) image-1 pts
-    u1, v1 = p1[0, :], p1[1, :]
-    u2, v2 = mx, my
-    # i_x = inverse(new_pose): R^T, -R^T t.
-    r = (new_pose[0], new_pose[1], new_pose[2],
-         new_pose[4], new_pose[5], new_pose[6],
-         new_pose[8], new_pose[9], new_pose[10])
-    rt = _transpose3(r)
-    t_vec = (new_pose[3], new_pose[7], new_pose[11])
-    it = tuple(-x for x in _mat3vec(rt, t_vec))
-    ir_ik = _mat3mul(rt, ik)
-    d1x = ik[0] * u1 + ik[1] * v1 + ik[2]
-    d1y = ik[3] * u1 + ik[4] * v1 + ik[5]
-    d1z = ik[6] * u1 + ik[7] * v1 + ik[8]
-    d2x = ir_ik[0] * u2 + ir_ik[1] * v2 + ir_ik[2]
-    d2y = ir_ik[3] * u2 + ir_ik[4] * v2 + ir_ik[5]
-    d2z = ir_ik[6] * u2 + ir_ik[7] * v2 + ir_ik[8]
-    a00 = d1x * d1x + d1y * d1y + d1z * d1z
-    a01 = -(d1x * d2x + d1y * d2y + d1z * d2z)
-    a11 = d2x * d2x + d2y * d2y + d2z * d2z
-    b0 = d1x * it[0] + d1y * it[1] + d1z * it[2]
-    b1 = -(d2x * it[0] + d2y * it[1] + d2z * it[2])
-    det = a00 * a11 - a01 * a01
-    safe_det = jnp.where(jnp.abs(det) < _DET_EPS, 1.0, det)
-    s0 = (a11 * b0 - a01 * b1) / safe_det
-    s1 = (a00 * b1 - a01 * b0) / safe_det
-    new_ok = (
-        (cvalid > 0.5) & (s0 >= 0.0) & (s1 >= 0.0) & (jnp.abs(det) >= _DET_EPS)
-    )
-    okf = new_ok.astype(jnp.float32)
-    # where(), not multiply-by-mask: garbage lanes may hold non-finite values.
-    ntx = jnp.where(new_ok, 0.5 * (s0 * d1x + it[0] + s1 * d2x), 0.0)
-    nty = jnp.where(new_ok, 0.5 * (s0 * d1y + it[1] + s1 * d2y), 0.0)
-    ntz = jnp.where(new_ok, 0.5 * (s0 * d1z + it[2] + s1 * d2z), 0.0)
+        # ---- first-wins lookup rebuild (_lookup_from_corr scatter-min) ----
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1).astype(
+            jnp.float32
+        )
+        contrib = (cvalid > 0.5) & new_ok
+        # value[t, j] = j if (idx2[j] == t and contrib[j]) else BIG; min
+        # over j.
+        tgt = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0).astype(
+            jnp.float32
+        )
+        vals = jnp.where(
+            (tgt == idx2.reshape(1, s)) & contrib.reshape(1, s), lanes, _BIG
+        )
+        lut_min = jnp.min(vals, axis=1, keepdims=True)       # (S, 1)
+        new_lut = jnp.where(lut_min < _BIG, lut_min, -1.0)
 
-    # ---- first-wins lookup rebuild (_lookup_from_corr scatter-min) ----
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1).astype(jnp.float32)
-    contrib = (cvalid > 0.5) & new_ok
-    # value[t, j] = j if (idx2[j] == t and contrib[j]) else BIG; min over j.
-    tgt = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0).astype(jnp.float32)
-    vals = jnp.where(
-        (tgt == idx2.reshape(1, s)) & contrib.reshape(1, s), lanes, _BIG
-    )
-    lut_min = jnp.min(vals, axis=1, keepdims=True)       # (S, 1)
-    new_lut = jnp.where(lut_min < _BIG, lut_min, -1.0)
+        # ---- emit this frame's rows, carry the state ----
+        pose_row = jnp.pad(jnp.stack(new_pose), (0, s - 12))
+        stats_row = jnp.pad(
+            jnp.stack([chi_in, chi_out, n_in, jnp.sum(weight)]), (0, s - 4)
+        )
+        new_tri_rows = jnp.stack([ntx, nty, ntz, okf])       # (4, S)
+        out_ref[i] = jnp.concatenate(
+            [
+                pose_row.reshape(1, s),
+                stats_row.reshape(1, s),
+                new_tri_rows,
+                jnp.zeros((2, s), jnp.float32),
+            ]
+        )
+        return (new_lut, new_tri_rows) + new_pose
 
-    # ---- emit and carry ----
-    pose_row = jnp.pad(jnp.stack(new_pose), (0, s - 12))
-    stats_row = jnp.pad(
-        jnp.stack([chi_in, chi_out, n_in, jnp.sum(weight)]), (0, s - 4)
-    )
-    out_ref[0, :] = pose_row
-    out_ref[1, :] = stats_row
-    out_ref[2, :] = ntx
-    out_ref[3, :] = nty
-    out_ref[4, :] = ntz
-    out_ref[5, :] = okf
-    out_ref[6, :] = jnp.zeros((s,), jnp.float32)
-    out_ref[7, :] = jnp.zeros((s,), jnp.float32)
-
-    lut_c[:, :] = new_lut
-    tri_c[0, :] = ntx
-    tri_c[1, :] = nty
-    tri_c[2, :] = ntz
-    tri_c[3, :] = okf
-    for j in range(12):
-        pose_c[j] = new_pose[j]
+    init = (
+        init_lut_ref[:, :],
+        init_tri_ref[:, :],
+    ) + tuple(scal_ref[c, 28 + j] for j in range(12))
+    jax.lax.fori_loop(0, num_frames, frame_body, init)
 
 
 def _run_batched(
@@ -241,12 +249,11 @@ def _run_batched(
     tolerance: Array,         # (C,)
     min_num_inliers: Array,   # (C,)
 ) -> Tuple[Array, Array, Array, Array]:
-    """Chunk-batched fused tracking: grid (C, F), frames innermost.
+    """Chunk-batched fused tracking: grid (C,), whole frame loop per step.
 
-    Each chunk's carried state lives in the same VMEM/SMEM scratch, re-seeded
-    at its first frame step; chunks are independent, so the grid's sequential
-    order is correct by construction (and XLA may still overlap the DMA
-    pipeline across the chunk boundary).
+    Chunks are independent; each grid step runs its chunk's entire frame
+    loop as an in-kernel fori_loop over VMEM-resident frame blocks (see
+    ``_kernel``).
     """
     c, f, s = corr_idx1.shape
     corr = jnp.stack(
@@ -294,38 +301,33 @@ def _run_batched(
     )                                                     # (C, 4, S)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, num_iterations),
-        grid=(c, f),
+        functools.partial(_kernel, num_iterations, f),
+        grid=(c,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (None, None, 3, s), lambda c, i: (c, i, 0, 0),
+                (None, f, 3, s), lambda c: (c, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, None, 2, s), lambda c, i: (c, i, 0, 0),
+                (None, f, 2, s), lambda c: (c, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, None, 2, s), lambda c, i: (c, i, 0, 0),
+                (None, f, 2, s), lambda c: (c, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, s, 1), lambda c, i: (c, 0, 0), memory_space=pltpu.VMEM
+                (None, s, 1), lambda c: (c, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (None, 4, s), lambda c, i: (c, 0, 0), memory_space=pltpu.VMEM
+                (None, 4, s), lambda c: (c, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (None, None, 8, s), lambda c, i: (c, i, 0, 0), memory_space=pltpu.VMEM
+            (None, f, 8, s), lambda c: (c, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((c, f, 8, s), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((s, 1), jnp.float32),
-            pltpu.VMEM((4, s), jnp.float32),
-            pltpu.SMEM((12,), jnp.float32),
-        ],
         interpret=interpret,
     )(scal, corr, prev_t, cur_t, init_lut, init_tri_rows)
 

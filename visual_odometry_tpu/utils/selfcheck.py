@@ -1,0 +1,133 @@
+"""On-device Pallas-vs-XLA equality self-check.
+
+The Pallas kernels (ops/pallas) are validated bit-for-bit against the XLA
+paths in interpret mode on CPU (tests/test_pallas_kernels.py); this module
+runs the SAME comparisons through the compiled kernels on the actual
+device, so compiled-mode (Mosaic) correctness is asserted directly rather
+than riding on the benchmark's end-to-end accuracy guard. ``bench.py``
+runs :func:`run_all` on the real chip before reporting throughput — a
+fast-but-wrong kernel fails the round.
+
+All checks build synthetic scenes (utils/synthetic) and compare:
+
+  1. the whole-GN-loop kernel ``solve_fused`` vs ``ops.picp.solve``'s
+     lax-loop backend (fixed budget AND early exit);
+  2. the full fused frame-loop pipeline (``scan_backend="fused"``, one
+     Pallas program for all frames) vs the ``lax.scan`` form — whole
+     trajectories and landmark maps;
+  3. the streaming matcher kernel vs the dense XLA matcher — exact index
+     and distance equality.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import pipeline
+from ..ops import matching, picp
+from ..ops.camera import project_points
+from ..utils import synthetic
+from ..utils.config import VOConfig
+
+
+def check_picp_solver(interpret: bool = False, seed: int = 0) -> Dict[str, float]:
+    """solve_fused (compiled unless ``interpret``) vs the XLA solve loop."""
+    rng = np.random.default_rng(seed)
+    world = synthetic.generate_points3d(rng, 192)
+    x_gt = synthetic.generate_pose(rng)
+    cam = synthetic.default_camera(np.eye(4, dtype=np.float32))
+    meas, valid = project_points(synthetic.default_camera(x_gt), jnp.asarray(world))
+    w = valid.astype(jnp.float32)
+    cam_params = jnp.stack([cam.z_near, cam.z_far, cam.cols, cam.rows])
+
+    from ..ops.pallas.picp_kernel import solve_fused
+
+    diffs = {}
+    for name, tol in (("fixed", 0.0), ("early_exit", 1e-12)):
+        solved, st = picp.solve(
+            cam, jnp.asarray(world), meas, w, 50,
+            kernel_threshold=10000.0, tolerance=tol, backend="xla",
+        )
+        pose, st2 = solve_fused(
+            cam.camera_matrix, cam.world_in_camera, cam_params,
+            jnp.asarray(world), meas, w, 50,
+            jnp.float32(10000.0), jnp.float32(1.0),
+            jnp.float32(tol if tol > 0 else -1.0), interpret=interpret,
+        )
+        d = float(
+            np.abs(np.asarray(pose) - np.asarray(solved.world_in_camera)).max()
+        )
+        diffs[f"picp_pose_diff_{name}"] = d
+        assert d < 5e-4, (name, d)
+        assert int(st.num_inliers) == int(st2.num_inliers), name
+    return diffs
+
+
+def check_frame_pipeline(interpret: bool = False, seed: int = 1) -> Dict[str, float]:
+    """Fused frame-loop kernel pipeline vs the lax.scan pipeline, end to end."""
+    rng = np.random.default_rng(seed)
+    n_slots, frames = 64, 10
+    pts, apps, masks = synthetic.generate_tracking_sequence(rng, frames, n_slots)
+    camera = synthetic.default_camera()
+    base = VOConfig(n_slots=n_slots, map_capacity=128, gn_iterations=30)
+    fused_backend = "fused_interpret" if interpret else "fused"
+
+    traj_x, map_x, _ = pipeline.run_sequence(
+        camera, base.replace(scan_backend="xla", solver_backend="xla"),
+        jnp.asarray(pts), jnp.asarray(apps), jnp.asarray(masks),
+    )
+    traj_f, map_f, _ = pipeline.run_sequence(
+        camera, base.replace(scan_backend=fused_backend),
+        jnp.asarray(pts), jnp.asarray(apps), jnp.asarray(masks),
+    )
+    traj_x, traj_f = np.asarray(traj_x), np.asarray(traj_f)
+    d_traj = float(np.abs(traj_x - traj_f).max())
+    n_x = int(np.asarray(map_x.valid).sum())
+    n_f = int(np.asarray(map_f.valid).sum())
+    assert np.isfinite(traj_f).all()
+    assert d_traj < 5e-4, d_traj
+    assert n_x == n_f, (n_x, n_f)
+    return {"frame_traj_diff": d_traj, "map_size": float(n_f)}
+
+
+def check_matcher(interpret: bool = False, seed: int = 2) -> Dict[str, float]:
+    """Streaming matcher kernel vs dense XLA matcher: exact equality."""
+    rng = np.random.default_rng(seed)
+    db = rng.uniform(-1, 1, (2048, 10)).astype(np.float32)
+    q = db[rng.integers(0, 2048, 256)].copy()
+    q[::3] += 0.01
+    db_mask = np.ones(2048, bool)
+    db_mask[::5] = False
+    q_mask = np.ones(256, bool)
+    d_x, i_x = matching.best_match(
+        jnp.asarray(q), jnp.asarray(q_mask), jnp.asarray(db),
+        jnp.asarray(db_mask), backend="xla",
+    )
+    d_p, i_p = matching.best_match(
+        jnp.asarray(q), jnp.asarray(q_mask), jnp.asarray(db),
+        jnp.asarray(db_mask), backend="pallas", interpret=interpret,
+    )
+    idx_equal = bool((np.asarray(i_x) == np.asarray(i_p)).all())
+    d_diff = float(np.abs(np.asarray(d_x) - np.asarray(d_p)).max())
+    assert idx_equal
+    assert d_diff == 0.0, d_diff
+    return {"matcher_dist_diff": d_diff}
+
+
+def run_all(interpret: bool | None = None) -> Dict[str, float]:
+    """Run every backend-equality check; raises AssertionError on mismatch.
+
+    ``interpret=None`` auto-selects: compiled kernels on TPU, the Pallas
+    interpreter elsewhere (kernels cannot compile for CPU).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out = {}
+    out.update(check_picp_solver(interpret))
+    out.update(check_frame_pipeline(interpret))
+    out.update(check_matcher(interpret))
+    return out
