@@ -135,15 +135,21 @@ def merge_stream(
     keys = jnp.where(mask[:, None], keys, big)
     time = jnp.where(mask, jnp.arange(t, dtype=jnp.int32), jnp.int32(t))
 
-    # Sort 1: group identical keys, time-ascending within each group.
-    ops = tuple(keys[:, i] for i in range(d)) + (
-        time, points[:, 0], points[:, 1], points[:, 2], mask,
+    # Sort 1: group identical keys, time-ascending within each group. Only
+    # the keys plus a row index ride the sorting network; payloads (points,
+    # mask) are gathered by the permutation afterwards — a TPU sort's cost
+    # scales with the bytes it carries, and the payload gather is one cheap
+    # take() (measured: the payload-carrying form dominated the whole
+    # pipeline's map fold).
+    row = jnp.arange(t, dtype=jnp.int32)
+    s = jax.lax.sort(
+        tuple(keys[:, i] for i in range(d)) + (time, row), num_keys=d + 1
     )
-    s = jax.lax.sort(ops, num_keys=d + 1)
     skeys = jnp.stack(s[:d], axis=1)
     stime = s[d]
-    spts = jnp.stack(s[d + 1 : d + 4], axis=1)
-    smask = s[d + 4]
+    perm = s[d + 1]
+    spts = points[perm]
+    smask = mask[perm]
 
     new_group = jnp.concatenate(
         [jnp.ones((1,), bool), jnp.any(skeys[1:] != skeys[:-1], axis=1)]
@@ -156,14 +162,14 @@ def merge_stream(
     is_entry = new_group & smask  # one row per real landmark (the first obs)
     order_key = jnp.where(is_entry, stime, jnp.int32(t + 1))
 
-    # Sort 2: entries by first-observation time = the reference append order.
-    ops2 = (order_key,) + tuple(final_pts[:, i] for i in range(3)) + tuple(
-        skeys[:, i] for i in range(d)
-    ) + (is_entry,)
-    s2 = jax.lax.sort(ops2, num_keys=1)
-    pts_out = jnp.stack(s2[1:4], axis=1)
-    keys_out = jnp.stack(s2[4 : 4 + d], axis=1)
-    entry_out = s2[4 + d]
+    # Sort 2: entries by first-observation time = the reference append
+    # order. Same trick: sort (key, index) only, gather the 14 payload
+    # columns afterwards.
+    s2 = jax.lax.sort((order_key, row), num_keys=1)
+    perm2 = s2[1]
+    pts_out = final_pts[perm2]
+    keys_out = skeys[perm2]
+    entry_out = is_entry[perm2]
 
     if t >= capacity:
         pts_out = pts_out[:capacity]
