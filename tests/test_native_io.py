@@ -59,3 +59,46 @@ def test_io_layer_uses_native(native, reference_data_dir):
     )
     np.testing.assert_allclose(f.points, ref[:, 2:4].astype(np.float32))
     np.testing.assert_array_equal(f.ids, ref[:, 1].astype(np.int32))
+
+
+def test_native_sequence_loader_bit_identical(reference_data_dir):
+    """vo_load_sequence (threaded C++ parse+pad) == the Python
+    load_measurements/pad_frames path, bit for bit, every array."""
+    from visual_odometry_tpu.native import dataloader
+    from visual_odometry_tpu.utils import io
+
+    if not dataloader.available():
+        pytest.skip("native library unavailable")
+    out = dataloader.load_sequence_native(
+        reference_data_dir, 128, io.PAD_APPEARANCE
+    )
+    assert out is not None
+    points, apps, ids, mask, counts = out
+
+    files = io.list_measurement_files(reference_data_dir)
+    frames = [
+        io.load_measurements(os.path.join(reference_data_dir, f))
+        for f in files
+    ]
+    ref = io.pad_frames(frames, 128)
+    np.testing.assert_array_equal(points, ref.points)
+    np.testing.assert_array_equal(apps, ref.appearances)
+    np.testing.assert_array_equal(ids, ref.ids)
+    np.testing.assert_array_equal(mask, ref.mask)
+    np.testing.assert_array_equal(counts, ref.counts)
+
+
+def test_native_sequence_loader_auto_slots(reference_data_dir):
+    from visual_odometry_tpu.native import dataloader
+    from visual_odometry_tpu.utils import io
+
+    if not dataloader.available():
+        pytest.skip("native library unavailable")
+    out = dataloader.load_sequence_native(
+        reference_data_dir, None, io.PAD_APPEARANCE
+    )
+    assert out is not None
+    points = out[0]
+    counts = out[4]
+    assert points.shape[1] % 128 == 0
+    assert points.shape[1] >= counts.max()

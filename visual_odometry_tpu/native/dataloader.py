@@ -26,7 +26,10 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _LIB],
+            [
+                "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+                _SRC, "-o", _LIB,
+            ],
             check=True,
             capture_output=True,
             timeout=120,
@@ -36,13 +39,20 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    try:
+        return os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+    except OSError:
+        return True
+
+
 def _load():
     global _lib, _tried
     if _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB) and os.path.exists(_SRC):
-        if not _build():
+    if os.path.exists(_SRC) and (not os.path.exists(_LIB) or _stale()):
+        if not _build() and not os.path.exists(_LIB):
             return None
     try:
         lib = ctypes.CDLL(_LIB)
@@ -55,6 +65,19 @@ def _load():
             ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
         ]
         lib.vo_free.argtypes = [ctypes.POINTER(ctypes.c_double)]
+        lib.vo_load_sequence.restype = ctypes.c_long
+        lib.vo_load_sequence.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_float,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int)),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.vo_free_buf.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception:
         _lib = None
@@ -86,3 +109,50 @@ def parse_table(
         if out:
             lib.vo_free(out)
     return arr
+
+
+def load_sequence_native(
+    data_dir: str, n_slots: Optional[int], pad_appearance: float
+):
+    """Threaded native whole-sequence load -> padded arrays, or None.
+
+    Returns (points (F,S,2) f32, apps (F,S,10) f32, ids (F,S) i32,
+    mask (F,S) bool, counts (F,) i32) matching ``utils.io.pad_frames``
+    exactly; the per-file parse + pad loop runs in C++ worker threads
+    (the serial Python loop is the serving ingest bottleneck — one
+    sequence costs ~25 ms there vs ~1-2 ms of device tracking).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "vo_load_sequence"):
+        return None
+    pts_p = ctypes.POINTER(ctypes.c_float)()
+    apps_p = ctypes.POINTER(ctypes.c_float)()
+    ids_p = ctypes.POINTER(ctypes.c_int)()
+    mask_p = ctypes.POINTER(ctypes.c_ubyte)()
+    counts_p = ctypes.POINTER(ctypes.c_int)()
+    s_out = ctypes.c_int(0)
+    f = lib.vo_load_sequence(
+        data_dir.encode(),
+        0 if n_slots is None else int(n_slots),
+        ctypes.c_float(pad_appearance),
+        ctypes.byref(pts_p),
+        ctypes.byref(apps_p),
+        ctypes.byref(ids_p),
+        ctypes.byref(mask_p),
+        ctypes.byref(counts_p),
+        ctypes.byref(s_out),
+    )
+    if f <= 0:
+        return None
+    s = s_out.value
+    try:
+        points = np.ctypeslib.as_array(pts_p, shape=(f, s, 2)).copy()
+        apps = np.ctypeslib.as_array(apps_p, shape=(f, s, 10)).copy()
+        ids = np.ctypeslib.as_array(ids_p, shape=(f, s)).copy()
+        mask = np.ctypeslib.as_array(mask_p, shape=(f, s)).astype(bool)
+        counts = np.ctypeslib.as_array(counts_p, shape=(f,)).copy()
+    finally:
+        for p in (pts_p, apps_p, ids_p, counts_p):
+            lib.vo_free_buf(p)
+        lib.vo_free_buf(mask_p)
+    return points, apps, ids, mask, counts

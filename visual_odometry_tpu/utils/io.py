@@ -223,6 +223,23 @@ def pad_frames(frames: List[Frame], n_slots: Optional[int] = None) -> PaddedSequ
 
 
 def load_sequence(data_dir: str, n_slots: Optional[int] = None) -> PaddedSequence:
+    """Load + pad a whole measurement sequence.
+
+    Prefers the threaded native loader (native/vo_io.cpp
+    ``vo_load_sequence``): the per-file Python loop below costs ~25 ms per
+    sequence — 10x the device tracking time, i.e. the serving ingest
+    bottleneck — while the native pool parses and pads in one call. Both
+    paths produce identical arrays (tests/test_native_io.py).
+    """
+    native = _maybe_native()
+    if native is not None:
+        out = native.load_sequence_native(data_dir, n_slots, PAD_APPEARANCE)
+        if out is not None:
+            points, apps, ids, mask, counts = out
+            return PaddedSequence(
+                points=points, appearances=apps, ids=ids, mask=mask,
+                counts=counts,
+            )
     files = list_measurement_files(data_dir)
     frames = [load_measurements(os.path.join(data_dir, f)) for f in files]
     return pad_frames(frames, n_slots)
