@@ -42,8 +42,13 @@ def _make_seq(n_slots: int, frames: int, seed: int = 0):
     apps = synthetic.generate_appearances(rng, n_slots)
     pts, masks = [], []
     for i in range(frames):
+        # Real parallax per consecutive pair (~0.07 translation/frame):
+        # a near-pure-rotation step makes the monocular two-view bootstrap
+        # degenerate by construction (E -> 0 as t -> 0), which is a
+        # failure-path test concern (tests/test_pipeline.py), not a
+        # throughput workload.
         v = np.float32(
-            [0.01 * i, -0.004 * i, 0.016 * i, 0.001 * i, -0.001 * i, 0.0005 * i]
+            [0.05 * i, -0.02 * i, 0.04 * i, 0.001 * i, -0.001 * i, 0.0005 * i]
         )
         pose = np.array(se3.v2t_euler(jnp.asarray(v)))
         uv, valid = project_points(synthetic.default_camera(pose), jnp.asarray(world))

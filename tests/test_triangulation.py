@@ -55,3 +55,67 @@ def test_masks_propagate(rng):
         cam.camera_matrix, jnp.asarray(x12), jnp.asarray(p1), jnp.asarray(p2), all_false
     )
     assert not np.array(ok).any()
+
+
+def test_near_parallel_rays_never_emit_nonfinite(rng):
+    """Rays just above the determinant epsilon can push the ray parameters
+    past f32 range; such points must be rejected (ok=False) and zeroed —
+    a non-finite 'valid' triangulation NaN-poisons downstream GN through
+    inf * 0 (observed on TPU with a degenerate bootstrap)."""
+    from visual_odometry_tpu.ops import triangulation
+    from visual_odometry_tpu.utils import synthetic
+
+    cam = synthetic.default_camera()
+    n = 64
+    p1 = rng.uniform(100, 500, (n, 2)).astype(np.float32)
+    # Sub-micro-pixel offsets: nearly identical rays at a nearly-identity
+    # relative pose -> det barely above eps, huge ray parameters.
+    p2 = p1 + rng.uniform(1e-5, 1e-3, (n, 2)).astype(np.float32)
+    x = np.eye(4, dtype=np.float32)
+    x[:3, 3] = [1e-12, 0.0, 0.0]
+    pts, ok = triangulation.triangulate_pairs(
+        cam.camera_matrix, jnp.asarray(x), jnp.asarray(p1), jnp.asarray(p2),
+        jnp.ones(n, bool),
+    )
+    pts = np.asarray(pts)
+    assert np.isfinite(pts).all()
+    assert (np.abs(pts[np.asarray(ok)]) < 1e18).all()
+
+
+def test_zero_parallax_sequence_stays_finite(rng):
+    """A fully degenerate sequence (camera never moves: every pair is
+    homography-explained, bootstrap falls back to identity, triangulation
+    is all-parallel) must still produce a finite trajectory in both scan
+    backends — the reference would produce garbage-but-running output;
+    NaNs are never acceptable."""
+    import warnings
+
+    from visual_odometry_tpu.models import pipeline
+    from visual_odometry_tpu.ops.camera import project_points
+    from visual_odometry_tpu.utils import synthetic
+    from visual_odometry_tpu.utils.config import VOConfig
+
+    n, f = 64, 8
+    world = np.stack(
+        [
+            rng.uniform(-1.5, 1.5, n),
+            rng.uniform(-1.2, 1.2, n),
+            rng.uniform(2.0, 4.0, n),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    apps = synthetic.generate_appearances(rng, n)
+    uv, valid = project_points(synthetic.default_camera(), jnp.asarray(world))
+    pts = jnp.asarray(np.tile(np.asarray(uv)[None], (f, 1, 1)))
+    msk = jnp.asarray(np.tile(np.asarray(valid)[None], (f, 1)))
+    aps = jnp.asarray(np.tile(apps[None], (f, 1, 1)))
+    cfg = VOConfig(n_slots=n, map_capacity=128, gn_iterations=10)
+    for backend in ("xla", "fused_interpret"):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            traj, _, _ = pipeline.run_sequence(
+                synthetic.default_camera(),
+                cfg.replace(scan_backend=backend),
+                pts, aps, msk,
+            )
+        assert np.isfinite(np.asarray(traj)).all(), backend

@@ -183,11 +183,22 @@ def _kernel(
             (cvalid > 0.5) & (s0 >= 0.0) & (s1 >= 0.0)
             & (jnp.abs(det) >= _DET_EPS)
         )
+        vx = 0.5 * (s0 * d1x + it[0] + s1 * d2x)
+        vy = 0.5 * (s0 * d1y + it[1] + s1 * d2y)
+        vz = 0.5 * (s0 * d1z + it[2] + s1 * d2z)
+        # Finiteness guard (ops/triangulation contract): a non-finite or
+        # overflow-adjacent "valid" triangulation would NaN-poison the next
+        # frame's GN lane reductions through inf * 0.
+        new_ok = (
+            new_ok
+            & (jnp.abs(vx) < 1e18) & (jnp.abs(vy) < 1e18)
+            & (jnp.abs(vz) < 1e18)
+        )
         okf = new_ok.astype(jnp.float32)
         # where(), not multiply-by-mask: garbage lanes may be non-finite.
-        ntx = jnp.where(new_ok, 0.5 * (s0 * d1x + it[0] + s1 * d2x), 0.0)
-        nty = jnp.where(new_ok, 0.5 * (s0 * d1y + it[1] + s1 * d2y), 0.0)
-        ntz = jnp.where(new_ok, 0.5 * (s0 * d1z + it[2] + s1 * d2z), 0.0)
+        ntx = jnp.where(new_ok, vx, 0.0)
+        nty = jnp.where(new_ok, vy, 0.0)
+        ntz = jnp.where(new_ok, vz, 0.0)
 
         # ---- first-wins lookup rebuild (_lookup_from_corr scatter-min) ----
         lanes = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1).astype(

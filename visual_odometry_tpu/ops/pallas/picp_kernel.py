@@ -293,8 +293,11 @@ def gn_loop(
         iz = 1.0 / jnp.where(hz == 0.0, 1.0, hz)
         u = hx * iz
         v = hy * iz
+        # hz > 1e-6: minimum-depth guard (see ops/picp.linearize) — at
+        # z_near == 0 a point at the pinhole passes the frustum test but
+        # its 1/z^2 Jacobian terms overflow f32 and NaN-poison H.
         valid = (
-            (pz <= z_far) & (pz >= z_near)
+            (pz <= z_far) & (pz >= z_near) & (hz > 1e-6)
             & (u >= 0.0) & (u <= cols - 1.0)
             & (v >= 0.0) & (v <= rows - 1.0)
         )
@@ -322,30 +325,60 @@ def gn_loop(
             a11 * (-pz) + a12 * py, a10 * pz + a12 * (-px), a10 * (-py) + a11 * px,
         )
 
-        # H (21 unique entries) and b as weighted lane reductions.
-        hm = {}
+        # H (21 unique entries), b (6) and the 3 stats as ONE stacked
+        # (30, N) lane reduction instead of 30 separate ones: the separate
+        # form re-runs the cross-lane reduction tree per scalar, which
+        # dominates the iteration at large N (measured on v5e: 100 rounds
+        # at N=1024 drop 3.8 ms -> 1.4 ms; N=128 is latency-bound either
+        # way and unchanged).
+        inl = live * (1.0 - is_out.astype(jnp.float32))
+        rows_l = []
         for i in range(6):
             for j in range(i, 6):
-                hm[(i, j)] = jnp.sum(w * (jx[i] * jx[j] + jy[i] * jy[j]))
-        bv = tuple(jnp.sum(w * (jx[i] * ex + jy[i] * ey)) for i in range(6))
-
-        inl = live * (1.0 - is_out.astype(jnp.float32))
-        new_chi_in = jnp.sum(chi * inl)
-        new_chi_out = jnp.sum(chi * live * is_out.astype(jnp.float32))
-        new_n_in = jnp.sum(inl)
+                rows_l.append(w * (jx[i] * jx[j] + jy[i] * jy[j]))
+        for i in range(6):
+            rows_l.append(w * (jx[i] * ex + jy[i] * ey))
+        rows_l.append(chi * inl)
+        rows_l.append(chi * live * is_out.astype(jnp.float32))
+        rows_l.append(inl)
+        sums = jnp.sum(jnp.stack(rows_l), axis=1)   # (30,)
+        hm = {}
+        idx = 0
+        for i in range(6):
+            for j in range(i, 6):
+                hm[(i, j)] = sums[idx]
+                idx += 1
+        bv = tuple(sums[21 + i] for i in range(6))
+        new_chi_in = sums[27]
+        new_chi_out = sums[28]
+        new_n_in = sums[29]
 
         # --- damped 6x6 solve via 3x3-block Schur complement ---
-        A = (hm[(0, 0)] + damping, hm[(0, 1)], hm[(0, 2)],
-             hm[(0, 1)], hm[(1, 1)] + damping, hm[(1, 2)],
-             hm[(0, 2)], hm[(1, 2)], hm[(2, 2)] + damping)
-        B = (hm[(0, 3)], hm[(0, 4)], hm[(0, 5)],
-             hm[(1, 3)], hm[(1, 4)], hm[(1, 5)],
-             hm[(2, 3)], hm[(2, 4)], hm[(2, 5)])
-        D = (hm[(3, 3)] + damping, hm[(3, 4)], hm[(3, 5)],
-             hm[(3, 4)], hm[(4, 4)] + damping, hm[(4, 5)],
-             hm[(3, 5)], hm[(4, 5)], hm[(5, 5)] + damping)
-        r1 = (-bv[0], -bv[1], -bv[2])
-        r2 = (-bv[3], -bv[4], -bv[5])
+        # Jacobi pre-scaling first: solve (S M S) y = -S b with
+        # S = diag(M)^(-1/2), dx = S y — algebraically identical, but the
+        # scaled system has UNIT diagonal so every 3x3 adjugate cofactor is
+        # O(1). Without it, near-pinhole points (depth ~ 1e-5 after a
+        # collapsed-scale bootstrap) push H entries to ~1e20, the cofactor
+        # PRODUCTS past f32 max, and det = inf - inf = NaN (observed on
+        # v5e; the XLA backend's pivoted LU is immune).
+        md = tuple(hm[(i, i)] + damping for i in range(6))
+        sc = tuple(jax.lax.rsqrt(jnp.maximum(m, 1e-30)) for m in md)
+
+        def se(i, j):
+            return hm[(min(i, j), max(i, j))] * sc[i] * sc[j]
+
+        one = jnp.ones_like(md[0])
+        A = (one, se(0, 1), se(0, 2),
+             se(0, 1), one, se(1, 2),
+             se(0, 2), se(1, 2), one)
+        B = (se(0, 3), se(0, 4), se(0, 5),
+             se(1, 3), se(1, 4), se(1, 5),
+             se(2, 3), se(2, 4), se(2, 5))
+        D = (one, se(3, 4), se(3, 5),
+             se(3, 4), one, se(4, 5),
+             se(3, 5), se(4, 5), one)
+        r1 = (-bv[0] * sc[0], -bv[1] * sc[1], -bv[2] * sc[2])
+        r2 = (-bv[3] * sc[3], -bv[4] * sc[4], -bv[5] * sc[5])
         Ai = _inv3(A)
         Bt = _transpose3(B)
         S = tuple(d - s for d, s in zip(D, _mat3mul(Bt, _mat3mul(Ai, B))))
@@ -354,7 +387,8 @@ def gn_loop(
         x2 = _mat3vec(Si, t_r2)
         t_r1 = tuple(x - y for x, y in zip(r1, _mat3vec(B, x2)))
         x1 = _mat3vec(Ai, t_r1)
-        dx = x1 + x2
+        y = x1 + x2
+        dx = tuple(y[i] * sc[i] for i in range(6))
         enough = new_n_in >= min_inl
         dx = tuple(jnp.where(enough, d, 0.0) for d in dx)
         dx2 = sum(d * d for d in dx)

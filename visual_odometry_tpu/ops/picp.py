@@ -80,6 +80,12 @@ def linearize(
     p_hom = p_cam @ camera.camera_matrix.T
     iz = 1.0 / jnp.where(p_hom[..., 2] == 0.0, 1.0, p_hom[..., 2])
     iz2 = iz * iz
+    # Minimum-depth guard: with z_near == 0 (the dataset's camera) a point
+    # essentially AT the pinhole passes the frustum test but its 1/z^2
+    # Jacobian terms overflow f32 to inf and NaN-poison H (observed when a
+    # degenerate bootstrap collapses the monocular scale toward zero). A
+    # micrometre of depth is far below any legitimate scene.
+    near_ok = p_hom[..., 2] > 1e-6
     zero = jnp.zeros_like(iz)
     jp = jnp.stack(
         [
@@ -96,7 +102,7 @@ def linearize(
     safe_chi = jnp.maximum(chi, 1e-30)
     lam = jnp.where(is_outlier, jnp.sqrt(kernel_threshold / safe_chi), 1.0)
 
-    live = weights * in_frustum.astype(weights.dtype)
+    live = weights * in_frustum.astype(weights.dtype) * near_ok.astype(weights.dtype)
     contrib = live * jnp.where(is_outlier, float(keep_outliers), 1.0)
     w = contrib * lam  # (N,)
 

@@ -78,6 +78,8 @@ def linearize_se2(
     p_hom = p_cam @ camera.camera_matrix.T
     iz = 1.0 / jnp.where(p_hom[..., 2] == 0.0, 1.0, p_hom[..., 2])
     iz2 = iz * iz
+    # Minimum-depth guard (see ops/picp.linearize): 1/z^2 overflow safety.
+    near_ok = p_hom[..., 2] > 1e-6
     zero = jnp.zeros_like(iz)
     jp = jnp.stack(
         [
@@ -92,7 +94,9 @@ def linearize_se2(
     is_outlier = chi > kernel_threshold
     safe_chi = jnp.maximum(chi, 1e-30)
     lam = jnp.where(is_outlier, jnp.sqrt(kernel_threshold / safe_chi), 1.0)
-    live = weights * in_frustum.astype(weights.dtype)
+    live = (
+        weights * in_frustum.astype(weights.dtype) * near_ok.astype(weights.dtype)
+    )
     contrib = live * jnp.where(is_outlier, float(keep_outliers), 1.0)
     w = contrib * lam
 

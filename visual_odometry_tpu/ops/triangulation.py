@@ -76,6 +76,13 @@ def triangulate_pairs(
 
     ok = valid & (s0 >= 0.0) & (s1 >= 0.0) & (jnp.abs(det) >= _DET_EPS)
     points = 0.5 * (s0[..., None] * d1 + t + s1[..., None] * d2)
+    # Near-parallel rays with a just-above-eps determinant can push the ray
+    # parameters past f32 range; a non-finite (or overflow-adjacent) "valid"
+    # point downstream turns masked-out GN contributions into NaN
+    # (inf * 0 through the projection chain), so reject it here like the
+    # behind-camera case. 1e18 is astronomically beyond any scene while
+    # keeping every downstream f32 intermediate finite.
+    ok = ok & jnp.all(jnp.abs(points) < 1e18, axis=-1)
     points = jnp.where(ok[..., None], points, 0.0)
     return points, ok
 
