@@ -7,8 +7,9 @@ tensors) and longer sequences — on synthetic scenes, verifying the
 static-shape design holds and reporting frames/s per configuration.
 
 One JSON line per (n_slots, frames) point. Measured on the real chip
-(TPU v5e, 2026-08-21): S=512/F=256 -> ~19.8k frames/s, S=1024/F=512 ->
-~9.3k frames/s steady state (the (S, S) join/scatter work grows as S^2).
+(TPU v5e, 2026-08-21): S=256/F=128 -> ~24.3k, S=512/F=256 -> ~19.1k,
+S=1024/F=512 -> ~9.3k frames/s steady state (the (S, S) join/scatter
+work grows as S^2).
 """
 
 from __future__ import annotations
