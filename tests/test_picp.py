@@ -211,3 +211,39 @@ def test_solve_is_jittable(rng):
     f = jax.jit(lambda c, w, m, wt: picp.solve(c, w, m, wt, 10))
     cam_out, _ = f(cam, world, meas, valid.astype(jnp.float32))
     assert np.isfinite(np.array(cam_out.world_in_camera)).all()
+
+
+def test_min_iterations_delays_tolerance_exit(rng):
+    """A huge tolerance exits after one round; min_iterations forces the
+    loop to keep refining first (same final contract in both backends)."""
+    world = synthetic.generate_points3d(rng, 256)
+    gt_pose = _perturbed_pose(rng, 0.05)
+    meas, valid = project_points(synthetic.default_camera(gt_pose), jnp.asarray(world))
+    weights = jnp.asarray(np.array(valid), jnp.float32)
+    cam0 = synthetic.default_camera(np.eye(4, dtype=np.float32))
+
+    # tolerance so large every round's dx passes it -> exit at min_iterations.
+    one, _ = picp.solve(
+        cam0, jnp.asarray(world), meas, weights, 50, tolerance=1e6,
+        backend="xla",
+    )
+    more, _ = picp.solve(
+        cam0, jnp.asarray(world), meas, weights, 50, tolerance=1e6,
+        min_iterations=10, backend="xla",
+    )
+    err_one = np.abs(np.array(one.world_in_camera) - gt_pose).max()
+    err_more = np.abs(np.array(more.world_in_camera) - gt_pose).max()
+    assert err_more < err_one * 0.5, (err_one, err_more)
+
+    from visual_odometry_tpu.ops.pallas.picp_kernel import solve_fused
+
+    cam_params = jnp.stack([cam0.z_near, cam0.z_far, cam0.cols, cam0.rows])
+    pose_p, _ = solve_fused(
+        cam0.camera_matrix, cam0.world_in_camera, cam_params,
+        jnp.asarray(world), meas, weights, 50,
+        jnp.float32(10000.0), jnp.float32(1.0), jnp.float32(1e6),
+        interpret=True, min_iterations=10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pose_p), np.array(more.world_in_camera), atol=5e-5
+    )

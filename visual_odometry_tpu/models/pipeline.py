@@ -339,6 +339,7 @@ def frame_step(
             tolerance=config.gn_tolerance,
             backend=config.solver_backend,
             min_num_inliers=config.min_num_inliers,
+            min_iterations=config.gn_min_iterations,
         )
     pose = solved_cam.world_in_camera  # frame k-1 expressed in frame k
 
@@ -488,6 +489,7 @@ def _track(
             warm_start=config.warm_start,
             min_num_inliers=jnp.asarray(config.min_num_inliers, jnp.float32),
             interpret=fused_interpret,
+            min_iterations=config.gn_min_iterations,
         )
         tri_apps_all = jax.vmap(lambda a, i: a[i])(rest.appearances, corr_all.idx2)
         outs = FrameOutput(

@@ -68,6 +68,7 @@ def _gather(rows: Array, oh: Array) -> Array:
 
 def _kernel(
     num_iterations,
+    min_iterations,
     num_frames,
     scal_ref,       # SMEM (C, 40): params + K + iK + init pose, per chunk
     corr_ref,       # (F, 3, S): idx1, idx2, valid rows per frame   [chunk c]
@@ -148,6 +149,7 @@ def _kernel(
         final = gn_loop(
             num_iterations, k, pose0, gwx, gwy, gwz, gmx, gmy, weight,
             z_near, z_far, cols, rows, kt, keep_out, damping, tol, min_inl,
+            min_iterations,
         )
         new_pose = final[0:12]
         chi_in, chi_out, n_in = final[13], final[14], final[15]
@@ -241,6 +243,7 @@ def _kernel(
 
 def _run_batched(
     num_iterations: int,
+    min_iterations: int,
     keep_outliers: bool,
     warm_start: bool,
     interpret: bool,
@@ -312,7 +315,7 @@ def _run_batched(
     )                                                     # (C, 4, S)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, num_iterations, f),
+        functools.partial(_kernel, num_iterations, min_iterations, f),
         grid=(c,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -355,7 +358,7 @@ def _run_batched(
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_fn(num_iterations, keep_outliers, warm_start, interpret):
+def _fused_fn(num_iterations, min_iterations, keep_outliers, warm_start, interpret):
     """custom_vmap-wrapped single-sequence tracker for these static options.
 
     vmap-ing the fused call (the chunk axis of parallel/posegraph) must NOT
@@ -376,7 +379,7 @@ def _fused_fn(num_iterations, keep_outliers, warm_start, interpret):
             cur_points, kernel_threshold, damping, tolerance, min_num_inliers,
         )
         outs = _run_batched(
-            num_iterations, keep_outliers, warm_start, interpret,
+            num_iterations, min_iterations, keep_outliers, warm_start, interpret,
             *(a[None] for a in args),
         )
         return jax.tree.map(lambda x: x[0], outs)
@@ -388,7 +391,8 @@ def _fused_fn(num_iterations, keep_outliers, warm_start, interpret):
             for a, b in zip(args, in_batched)
         )
         outs = _run_batched(
-            num_iterations, keep_outliers, warm_start, interpret, *args_b
+            num_iterations, min_iterations, keep_outliers, warm_start,
+            interpret, *args_b
         )
         return outs, jax.tree.map(lambda _: True, outs)
 
@@ -415,6 +419,7 @@ def track_frames_fused(
     warm_start: bool = False,
     interpret: bool = False,
     min_num_inliers: Array = 0.0,
+    min_iterations: int = 1,
 ) -> Tuple[Array, Array, Array, Array]:
     """Run the whole F-frame tracking loop in one kernel launch.
 
@@ -425,7 +430,8 @@ def track_frames_fused(
     vmap over a leading chunk axis folds into the kernel grid (see _fused_fn).
     """
     fn = _fused_fn(
-        int(num_iterations), bool(keep_outliers), bool(warm_start), bool(interpret)
+        int(num_iterations), int(min_iterations), bool(keep_outliers),
+        bool(warm_start), bool(interpret)
     )
     return fn(
         camera_matrix,

@@ -258,6 +258,7 @@ def _transpose3(m):
 def gn_loop(
     num_iterations, k, pose0, wx, wy, wz, mx, my, wgt_in,
     z_near, z_far, cols, rows, kt, keep_out, damping, tol, min_inl=0.0,
+    min_iterations=1,
 ):
     """The whole Gauss-Newton iteration as in-kernel lane/scalar code.
 
@@ -270,6 +271,11 @@ def gn_loop(
     whose inlier count falls below it applies no pose update and ends the
     loop (the reference keeps re-running the identical skipped round, which
     cannot change the state — exiting yields the same final pose/stats).
+
+    ``min_iterations`` keeps the tolerance exit from firing before that
+    many rounds have run: a warm-started solve takes a SMALL first step
+    near its prior even when not yet converged, so exit decisions need a
+    couple of rounds of evidence (same contract as ``ops.picp.solve``).
     """
 
     def cond(carry):
@@ -277,7 +283,7 @@ def gn_loop(
         # once ||dx||^2 <= tolerance (vs predicating the updates and still
         # paying every round's compute — ~5x wall time on converged frames).
         it, *_rest, active, _ci, _co, _ni = carry
-        return (it < num_iterations) & (active > 0.5)
+        return (it < num_iterations) & ((active > 0.5) | (it < min_iterations))
 
     def body(carry):
         (it, r00, r01, r02, t0, r10, r11, r12, t1, r20, r21, r22, t2,
@@ -425,7 +431,7 @@ def gn_loop(
     return jax.lax.while_loop(cond, body, init)[1:]
 
 
-def _solve_kernel(num_iterations, scal_ref, world_ref, meas_ref, w_ref, out_ref):
+def _solve_kernel(num_iterations, min_iterations, scal_ref, world_ref, meas_ref, w_ref, out_ref):
     z_near, z_far, cols, rows = scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3]
     kt, keep_out, damping, tol = scal_ref[4], scal_ref[5], scal_ref[6], scal_ref[7]
     min_inl = scal_ref[8]
@@ -437,6 +443,7 @@ def _solve_kernel(num_iterations, scal_ref, world_ref, meas_ref, w_ref, out_ref)
         world_ref[0, :], world_ref[1, :], world_ref[2, :],
         meas_ref[0, :], meas_ref[1, :], w_ref[0, :],
         z_near, z_far, cols, rows, kt, keep_out, damping, tol, min_inl,
+        min_iterations,
     )
 
     row0 = jnp.stack(final[0:4])
@@ -450,7 +457,8 @@ def _solve_kernel(num_iterations, scal_ref, world_ref, meas_ref, w_ref, out_ref)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_iterations", "keep_outliers", "interpret")
+    jax.jit,
+    static_argnames=("num_iterations", "keep_outliers", "interpret", "min_iterations"),
 )
 def solve_fused(
     camera_matrix: Array,     # (3, 3)
@@ -466,6 +474,7 @@ def solve_fused(
     keep_outliers: bool = False,
     interpret: bool = False,
     min_num_inliers: Array = 0.0,
+    min_iterations: int = 1,
 ) -> Tuple[Array, PICPStats]:
     """Whole PICP solve as one kernel. Returns (pose (4,4), stats).
 
@@ -499,7 +508,7 @@ def solve_fused(
     )
 
     out = pl.pallas_call(
-        functools.partial(_solve_kernel, num_iterations),
+        functools.partial(_solve_kernel, num_iterations, min_iterations),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((3, n_pad), lambda: (0, 0), memory_space=pltpu.VMEM),

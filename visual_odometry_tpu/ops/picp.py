@@ -166,6 +166,7 @@ def solve(
     tolerance: float = 0.0,
     backend: str = "auto",
     min_num_inliers: int = 0,
+    min_iterations: int = 1,
 ) -> Tuple[Camera, PICPStats]:
     """Run up to ``num_iterations`` GN rounds as one on-device loop.
 
@@ -211,6 +212,7 @@ def solve(
             jnp.asarray(tolerance if tolerance > 0.0 else -1.0, jnp.float32),
             keep_outliers=keep_outliers,
             min_num_inliers=jnp.asarray(min_num_inliers, jnp.float32),
+            min_iterations=min_iterations,
         )
         return camera.with_pose(pose), stats
 
@@ -238,8 +240,10 @@ def solve(
     tol = jnp.asarray(tolerance, world_points.dtype)
 
     def cond(carry):
+        # min_iterations delays the tolerance exit: a warm-started solve
+        # takes a small first step near its prior before real convergence.
         _, _, it, dx2 = carry
-        return (it < num_iterations) & (dx2 > tol)
+        return (it < num_iterations) & ((dx2 > tol) | (it < min_iterations))
 
     def body(carry):
         cam, _, it, _ = carry

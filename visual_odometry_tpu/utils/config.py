@@ -42,12 +42,20 @@ class VOConfig:
     # sequential rounds. Set to 0.0 for the reference's exact fixed-budget
     # behavior.
     gn_tolerance: float = 1e-12
+    # Minimum GN rounds before the tolerance exit may fire. 1 preserves
+    # the plain early-exit semantics; with warm_start, raise to ~3 so a
+    # small first step near the prior (not yet converged) cannot end the
+    # solve prematurely.
+    gn_min_iterations: int = 1
     # Start each frame's GN from the previous relative pose (constant-
     # velocity prior) instead of the reference's identity start
-    # (vo_complete.cpp:161). Measured: ~8% faster but the ||dx|| early exit
-    # then triggers before full convergence (small first step near the
-    # optimum), costing accuracy (e_theta 1.8e-4 vs 4.9e-6 on
-    # example_data). Only use with gn_tolerance == 0.
+    # (vo_complete.cpp:161). Measured on example_data: the robust kernel
+    # re-classifies inliers at the warm pose and converges to a DIFFERENT
+    # fixed point than the identity start — e_theta ~5e-5 vs 2.7e-6 even
+    # with gn_min_iterations raised to 20 — so the reference's identity
+    # start is also the accurate one here. Kept as an experimentation
+    # knob; pair with gn_min_iterations >= 3 so the tolerance exit cannot
+    # fire on the small first step near the prior.
     warm_start: bool = False
 
     # --- data association ---
