@@ -161,3 +161,70 @@ def test_selfcheck_runs_in_interpret_mode():
     assert diffs["matcher_dist_diff"] == 0.0
     assert diffs["picp_pose_diff_fixed"] < 5e-4
     assert diffs["frame_traj_diff"] < 5e-4
+
+
+def test_match_pairs_pallas_matches_xla_batch(rng):
+    """Batched pair-matcher kernel (interpret) == vmapped dense matcher:
+    bitwise distances, identical indices and kd-side selection."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from visual_odometry_tpu.ops import matching
+
+    b, n, d = 7, 64, 10
+    a1 = rng.uniform(-1, 1, (b, n, d)).astype(np.float32)
+    a2 = a1 + rng.normal(0, 0.02, (b, n, d)).astype(np.float32)
+    m1 = rng.uniform(size=(b, n)) > 0.2
+    m2 = rng.uniform(size=(b, n)) > 0.2
+    # NaN garbage in masked slots must not change any match.
+    a1[~m1] = np.nan
+    a2[~m2] = np.nan
+    # Duplicate rows to exercise first-index tie-breaking.
+    a2[:, 5] = a2[:, 3]
+
+    ref = matching.match_appearances_batch(
+        jnp.asarray(a1), jnp.asarray(m1), jnp.asarray(a2), jnp.asarray(m2),
+        backend="xla",
+    )
+    got = matching.match_appearances_batch(
+        jnp.asarray(a1), jnp.asarray(m1), jnp.asarray(a2), jnp.asarray(m2),
+        backend="pairs_pallas", interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(got.valid))
+    v = np.asarray(ref.valid)
+    np.testing.assert_array_equal(
+        np.asarray(ref.idx1)[v], np.asarray(got.idx1)[v]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.idx2)[v], np.asarray(got.idx2)[v]
+    )
+
+
+def test_gather_rows_pallas_matches_take_along_axis(rng):
+    """Tiled vreg lane-gather kernel (interpret) == take_along_axis."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from visual_odometry_tpu.ops.pallas import gather_kernel
+
+    for f, r, s in ((5, 4, 64), (3, 8, 256), (2, 3, 1024)):
+        src = rng.normal(size=(f, r, s)).astype(np.float32)
+        idx = rng.integers(0, s, (f, r, s)).astype(np.int32)
+        out = gather_kernel.gather_rows(
+            jnp.asarray(src), jnp.asarray(idx), interpret=True
+        )
+        ref = np.take_along_axis(src, idx, axis=2)
+        np.testing.assert_array_equal(np.asarray(out), ref)
+
+    # take_lanes restores integer dtypes exactly.
+    a = rng.integers(0, 1000, (4, 128)).astype(np.int32)
+    b = rng.normal(size=(4, 128)).astype(np.float32)
+    i1 = rng.integers(0, 128, (4, 128)).astype(np.int32)
+    i2 = rng.integers(0, 128, (4, 128)).astype(np.int32)
+    ga, gb = gather_kernel.take_lanes(
+        [jnp.asarray(a), jnp.asarray(b)], [jnp.asarray(i1), jnp.asarray(i2)],
+        interpret=True,
+    )
+    assert ga.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(ga), np.take_along_axis(a, i1, 1))
+    np.testing.assert_array_equal(np.asarray(gb), np.take_along_axis(b, i2, 1))

@@ -172,9 +172,12 @@ def bootstrap_diagnostics(
     big = jnp.asarray(jnp.inf, res.dtype)
     cnt = jnp.sum(ok.astype(jnp.int32))
     med = jnp.sort(jnp.where(ok, res, big))[jnp.maximum(cnt - 1, 0) // 2]
+    # cnt == 0 means no residual was measured at all — report NaN (distinct
+    # from a true ~0 homography-explained score) so callers can tell
+    # "degenerate pair" apart from "nothing to assess".
     return BootstrapDiagnostics(
         num_correspondences=jnp.sum(corr.valid.astype(jnp.int32)),
-        degeneracy_score=jnp.where(cnt > 0, med, 0.0),
+        degeneracy_score=jnp.where(cnt > 0, med, jnp.nan),
     )
 
 
@@ -206,8 +209,17 @@ def check_bootstrap(
             f"correspondences, got {n} (reference aborts here, "
             "epipolar_utils.cpp:104-108)"
         )
+    import math
+
     score = float(d.degeneracy_score)
-    if score < degeneracy_threshold:
+    if math.isnan(score):
+        warnings.warn(
+            "too few correspondences survived the homography fit to assess "
+            "bootstrap degeneracy (no transfer residuals measured)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    elif score < degeneracy_threshold:
         warnings.warn(
             f"bootstrap pair is homography-explained (median transfer "
             f"residual {score:.2e} < {degeneracy_threshold:.0e}): pure "
@@ -225,14 +237,18 @@ def initialize(
     frame0: FrameData,
     frame1: FrameData,
     use_known_da: bool = False,
+    corr: "matching.Correspondences | None" = None,
 ) -> Tuple[VOState, Array]:
     """Two-frame bootstrap: match, 8-point init, triangulate, seed the map.
 
     Mirrors vo_complete.cpp:95-148. Returns (state, x_init) where x_init is
     the frame-0-in-frame-1 pose (trajectory entry 1; entry 0 is identity).
+    ``corr`` lets callers supply the bootstrap-pair correspondences (the
+    fused runner also needs them to seed the frame-2 join chain).
     """
     s = config.n_slots
-    corr = _match(config, use_known_da, frame0, frame1)
+    if corr is None:
+        corr = _match(config, use_known_da, frame0, frame1)
     x_init = epipolar.estimate_transform(
         camera.camera_matrix, corr.idx1, corr.idx2, corr.valid,
         frame0.points, frame1.points, frame0.mask, frame1.mask,
@@ -325,6 +341,7 @@ def frame_step(
             tolerance=config.gn_tolerance,
             cam_in_robot=config.planar_mount(),
             min_num_inliers=config.min_num_inliers,
+            min_iterations=config.gn_min_iterations,
         )
     else:
         solved_cam, stats = picp.solve(
@@ -391,13 +408,19 @@ def _batched_match(
     """
     if use_known_da:
         return jax.vmap(match_by_ids)(prev.ids, prev.mask, frames.ids, frames.mask)
-    return jax.vmap(
-        functools.partial(
-            matching.match_appearances,
-            radius=config.match_radius,
-            backend=_frame_matcher_backend(config),
-        )
-    )(prev.appearances, prev.mask, frames.appearances, frames.mask)
+    if config.matcher_backend == "auto":
+        # Batched pair matching goes through the single-pass Pallas kernel
+        # on TPU: the dense (B, N, N) distance tensor otherwise reaches HBM
+        # and is rematerialized per reduction inside the big tracking
+        # program (ops/matching.match_appearances_batch docstring). An
+        # explicit matcher_backend is honored verbatim.
+        backend = "pairs_pallas" if jax.default_backend() == "tpu" else "xla"
+    else:
+        backend = _frame_matcher_backend(config)
+    return matching.match_appearances_batch(
+        prev.appearances, prev.mask, frames.appearances, frames.mask,
+        radius=config.match_radius, backend=backend,
+    )
 
 
 class InitTriangulation(NamedTuple):
@@ -426,7 +449,8 @@ def _track(
     """
     f0 = FrameData(points[0], appearances[0], masks[0], ids[0])
     f1 = FrameData(points[1], appearances[1], masks[1], ids[1])
-    state, x_init = initialize(camera, config, f0, f1, use_known_da)
+    corr01 = _match(config, use_known_da, f0, f1)
+    state, x_init = initialize(camera, config, f0, f1, use_known_da, corr=corr01)
     # ``initialize`` seeds an empty map with exactly the bootstrap
     # triangulation (compacted to the front, incoming order), so its first
     # n_slots rows ARE the bootstrap observations in frame-0 coords.
@@ -459,25 +483,53 @@ def _track(
     if backend == "fused":
         # The whole frame loop as ONE kernel launch (ops/pallas/frame_kernel):
         # the scan form costs ~38 device kernels per frame in sequencing
-        # overhead alone. Pose-independent outputs (appearance gathers, match
-        # counts) are computed here, batched.
+        # overhead alone. Everything pose-independent is hoisted out of the
+        # kernel and batched over frames here: appearance gathers, match
+        # counts, the lane-aligned pixel rows, and the frame-to-frame world
+        # join's first-wins candidate chains (pure index arithmetic over the
+        # correspondence tables — join_candidates) so the kernel performs no
+        # (S, S) one-hot work at all.
         from ..ops.pallas import frame_kernel
 
         cam_params = jnp.stack(
             [camera.z_near, camera.z_far, camera.cols, camera.rows]
         )
+        from ..ops.pallas import gather_kernel
+
+        safe1 = jnp.where(corr_all.valid, corr_all.idx1, 0)
+        safe2 = jnp.where(corr_all.valid, corr_all.idx2, 0)
+        # Lane-aligned pixel rows via the Pallas gather kernel (XLA's
+        # general gather serializes on the scalar core; gather_kernel).
+        px1, py1, px2, py2 = gather_kernel.take_lanes(
+            [prev.points[..., 0], prev.points[..., 1],
+             rest.points[..., 0], rest.points[..., 1]],
+            [safe1, safe1, safe2, safe2],
+            interpret=fused_interpret,
+        )
+        prev_al = jnp.stack([px1, py1], axis=-1)
+        cur_al = jnp.stack([px2, py2], axis=-1)
+        # Step i's world join looks up step i-1's correspondence targets
+        # (the bootstrap pair's for the first tracked frame).
+        src_idx2 = jnp.concatenate(
+            [corr01.idx2[None], corr_all.idx2[:-1]], axis=0
+        )
+        src_valid = jnp.concatenate(
+            [corr01.valid[None], corr_all.valid[:-1]], axis=0
+        )
+        cand = frame_kernel.join_candidates(
+            src_idx2, src_valid, corr_all.idx1, corr_all.valid,
+            config.fused_join_depth, interpret=fused_interpret,
+        )
         poses, tri_all, tri_ok_all, solver_stats = frame_kernel.track_frames_fused(
             camera.camera_matrix,
             cam_params,
             state.x_curr,
-            state.point_lookup,
             state.tri_points,
             state.tri_valid,
-            corr_all.idx1,
-            corr_all.idx2,
+            cand,
+            prev_al,
+            cur_al,
             corr_all.valid,
-            prev.points,
-            rest.points,
             config.gn_iterations,
             jnp.asarray(config.kernel_threshold, jnp.float32),
             jnp.asarray(config.damping, jnp.float32),
@@ -491,7 +543,15 @@ def _track(
             interpret=fused_interpret,
             min_iterations=config.gn_min_iterations,
         )
-        tri_apps_all = jax.vmap(lambda a, i: a[i])(rest.appearances, corr_all.idx2)
+        d_app = rest.appearances.shape[-1]
+        tri_apps_all = jnp.stack(
+            gather_kernel.take_lanes(
+                [rest.appearances[..., j] for j in range(d_app)],
+                [safe2] * d_app,
+                interpret=fused_interpret,
+            ),
+            axis=-1,
+        )
         outs = FrameOutput(
             pose=poses,
             num_matches=jnp.sum(corr_all.valid.astype(jnp.int32), axis=1),

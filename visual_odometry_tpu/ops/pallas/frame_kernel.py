@@ -1,96 +1,233 @@
-"""The ENTIRE per-frame tracking step as one Pallas kernel, grid over frames.
+"""The ENTIRE per-frame tracking step as one Pallas kernel, near-linear in S.
 
 The scan form of the pipeline (models/pipeline._run) compiles to ~38 device
 kernels per frame (gathers, the solver custom-call, triangulation fusions,
 scatter updates); at 119 sequential frames the per-kernel sequencing
 overhead dominates the program (~4 ms of a 5.7 ms trace). Here the whole
-frame loop — lookup-join, Gauss-Newton PICP, mid-point triangulation and
-the first-wins lookup scatter — runs inside ONE kernel launched once, as
-an in-kernel ``fori_loop`` over VMEM-resident per-frame blocks with the
-carried state (pose, previous triangulation, measurement->slot lookup) in
-loop carries. (A sequential grid over frames pays ~25 us of Mosaic
-sequencing per step — 10x the actual per-frame compute; the in-kernel
-loop pays it once.)
+frame loop — world join, Gauss-Newton PICP and mid-point triangulation —
+runs inside ONE kernel as an in-kernel ``fori_loop`` over VMEM-resident
+per-frame blocks, with the carried state (pose, previous triangulation) in
+loop carries / cross-block scratch.
 
 Reference semantics reproduced (same contracts as models/pipeline.frame_step,
 citations therein): the join of vo_complete.cpp:52-66, the solver of
 picp_solver.cpp:25-112, the triangulation of utils.cpp:36-134 and the
 query-order first-wins correspondence re-encoding of utils.cpp:98.
 
-TPU-native formulation notes:
-  * All per-correspondence data live on the 128-lane axis as (R, S) rows.
-  * Gathers ``src[idx]`` become one-hot matmuls: ``oh[s, j] = (idx[j] == s)``
-    built from a sublane iota, then ``src_rows @ oh`` on the MXU — several
-    gathers of the same index vector share one matmul by stacking rows.
-    Dots run at HIGHEST precision: a bf16 pass would round the *gathered
-    values* (pixel coords are O(600)).
-  * The scatter-min that rebuilds the lookup is a lane-min over a masked
-    (slot, target) value matrix; the result is carried as a (S, 1) COLUMN,
-    which is exactly the orientation the next frame's gather contraction
-    wants (no transposes anywhere).
+TPU-native formulation notes (round-4 rewrite; the round-3 kernel did the
+join as (S, S) one-hot matmuls + a lane-min scatter, whose S^2 cost halved
+throughput twice between 256 and 1024 slots):
+
+  * All pose-independent indexing is hoisted OUT of the kernel: pixel rows
+    arrive pre-gathered (``prev_al``/``cur_al`` = the reference/current
+    frame's pixels already aligned to correspondence lanes), and the
+    frame-to-frame world join is precomputed as static *candidate chains*
+    (:func:`join_candidates`): cand_d[j'] = the d-th smallest lane j of the
+    previous frame's correspondences with ``idx2[j] == idx1'[j']``. Only
+    the per-candidate triangulation-validity test is data-dependent, so the
+    kernel's entire join is D exact lane gathers + a first-valid select.
+  * Gathers use Mosaic's single-vreg ``tpu.dynamic_gather``
+    (``jnp.take_along_axis`` along lanes), tiled over 128-lane vregs:
+    out[r, j] = src[r, 128*hi[j] + lo[j]] via one (R, 128) gather + select
+    per (out-tile, src-tile) pair — O(S^2 * R / 128) VPU element ops with
+    no MXU pass and no (S, S) intermediates (the old formulation's
+    (S, S) one-hot build + matmul was O(S^2) *vector* work per gather).
+  * The frame axis is blocked: grid (chunks, frame-blocks) with the carried
+    pose/triangulation in VMEM/SMEM scratch across sequentially-executed
+    frame blocks, so VMEM holds only one block's inputs (+ its double
+    buffer) regardless of sequence length — arbitrarily long sequences
+    compile, where the round-3 kernel kept the whole sequence VMEM-resident.
   * The GN loop is the shared ``picp_kernel.gn_loop`` early-exit while_loop.
+
+First-wins depth: the reference scans correspondences in order and takes
+the first *successfully triangulated* hit (vo_complete.cpp:55-63 over
+utils.cpp:98's compacted pairs). The chain reproduces that exactly while
+the number of duplicate-target correspondences whose first ``depth``
+candidates ALL failed triangulation is zero — guaranteed when ``depth``
+>= the per-frame maximum match multiplicity (measured 1 on example_data:
+the kd side is a best-match target, collisions are rare; the default
+depth of 2 covers every observed workload with one spare level).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .picp_kernel import _inv3, _mat3mul, _mat3vec, _transpose3, gn_loop
+from .picp_kernel import _mat3mul, _mat3vec, _transpose3, gn_loop
 
 Array = jnp.ndarray
 
-_HIGH = jax.lax.Precision.HIGHEST
-_BIG = 3.4e38
 # Rays closer to parallel than this are rejected (ops/triangulation._DET_EPS).
 _DET_EPS = 1e-12
+_LANE = 128
 
 
-def _onehot(idx_row: Array, s: int) -> Array:
-    """(1, S) f32 index row -> (S, S) one-hot with oh[s, j] = (idx[j] == s)."""
-    # Mosaic requires integer iota; cast to f32 afterwards.
-    sub = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0).astype(jnp.float32)
-    return (sub == idx_row).astype(jnp.float32)
+class JoinCandidates(NamedTuple):
+    """Static first-wins candidate chains for the frame-to-frame world join.
+
+    ``lo``/``hi`` split each candidate lane index into (index % 128,
+    index // 128) — the form Mosaic's single-vreg dynamic gather consumes —
+    and ``ok`` marks existing candidates (target lane valid AND a d-th
+    source match exists)."""
+
+    lo: Array  # (F, D, S) int32 candidate lane % 128 (0 where absent)
+    hi: Array  # (F, D, S) int32 candidate lane // 128
+    ok: Array  # (F, D, S) bool candidate exists
 
 
-def _gather(rows: Array, oh: Array) -> Array:
-    """(R, S) @ (S, S) one-hot -> (R, S) gathered rows, exact f32."""
-    return jax.lax.dot_general(
-        rows, oh, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HIGH,
+def _cand_kernel(block, depth, src_ref, dst_ref, out_ref):
+    """Candidate chains for one block of frames, (S, S) work in VMEM.
+
+    src_ref (FB, S, 2) i32 columns [src_idx2, src_valid];
+    dst_ref (FB, 2, S) i32 rows [dst_idx1, dst_valid];
+    out_ref (FB, 3*D, S) i32 in the JoinCandidates row layout.
+    """
+    s = dst_ref.shape[-1]
+    bigi = jnp.int32(2**30)
+
+    def body(i, _):
+        src_col = src_ref[i, :, 0:1]          # (S, 1)
+        src_ok = src_ref[i, :, 1:2]           # (S, 1)
+        dst_row = dst_ref[i, 0:1, :]          # (1, S)
+        dst_ok = dst_ref[i, 1:2, :]           # (1, S)
+        eq = (src_col == dst_row) & (src_ok > 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        m = jnp.where(eq, rows, bigi)
+        los, his, oks = [], [], []
+        prev = jnp.full((1, s), jnp.int32(-1))
+        for _d in range(depth):
+            m = jnp.where(rows > prev, m, bigi)
+            c = jnp.min(m, axis=0, keepdims=True)          # (1, S)
+            found = (c < bigi) & (dst_ok > 0)
+            cand = jnp.where(found, c, 0)
+            los.append(cand % _LANE)
+            his.append(cand // _LANE)
+            oks.append(found.astype(jnp.int32))
+            prev = c
+        out_ref[i] = jnp.concatenate(los + his + oks, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, block, body, 0)
+
+
+def join_candidates(
+    src_idx2: Array,   # (F, S) previous frame's correspondence targets
+    src_valid: Array,  # (F, S) bool
+    dst_idx1: Array,   # (F, S) current frame's reference-side indices
+    dst_valid: Array,  # (F, S) bool
+    depth: int,
+    interpret: bool = False,
+) -> JoinCandidates:
+    """Precompute the world-join candidate chains (pure index arithmetic).
+
+    For output lane j' of step i, candidate d is the d-th smallest source
+    lane j with ``src_idx2[i, j] == dst_idx1[i, j']`` among valid source
+    lanes — the static part of the reference's first-wins join
+    (vo_complete.cpp:55-63); the dynamic part (skip candidates whose
+    triangulation failed) happens in the tracking kernel.
+
+    Runs as its own batched Pallas kernel: per frame one (S, S) equality
+    matrix + ``depth`` masked sublane min-reductions, entirely in VMEM
+    (~0.7 ms at F=510, S=1024). The sort/searchsorted formulation this
+    replaced spent ~12 ms in XLA sort machinery, and its index lookups hit
+    XLA's serialized scalar-core gathers (~5.3 ms each) before they were
+    kernelized — quadratic-but-VPU-resident beats O(S log S)-with-bad-
+    constants by an order of magnitude here.
+    """
+    f, s = src_idx2.shape
+    src = jnp.stack(
+        [src_idx2.astype(jnp.int32), src_valid.astype(jnp.int32)], axis=-1
+    )                                                      # (F, S, 2)
+    dst = jnp.stack(
+        [dst_idx1.astype(jnp.int32), dst_valid.astype(jnp.int32)], axis=1
+    )                                                      # (F, 2, S)
+    # Block size: a couple of live (S, S) i32 transients per frame plus
+    # ~2 MB of in/out blocks.
+    fb = max(1, min(f, (2 * 1024 * 1024) // max(1, (4 + 3 * depth) * s * 4)))
+    nb = -(-f // fb)
+    f_pad = nb * fb
+    if f_pad != f:
+        src = jnp.pad(src, ((0, f_pad - f), (0, 0), (0, 0)))
+        dst = jnp.pad(dst, ((0, f_pad - f), (0, 0), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_cand_kernel, fb, depth),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((fb, s, 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, 2, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (fb, 3 * depth, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((f_pad, 3 * depth, s), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(src, dst)[:f]
+    return JoinCandidates(
+        lo=out[:, 0:depth],
+        hi=out[:, depth:2 * depth],
+        ok=out[:, 2 * depth:] > 0,
     )
+
+
+def _lane_gather(src: Array, lo: Array, hi: Array) -> Array:
+    """Exact cross-tile lane gather: out[r, j] = src[r, 128*hi[r,j]+lo[r,j]].
+
+    Mosaic's ``tpu.dynamic_gather`` only handles a single source vreg along
+    the gather dimension, so the S-lane gather decomposes into one
+    (R, 128)-vreg gather + tile-id select per (out-tile, src-tile) pair:
+    O(S/128)^2 single-vreg ops instead of an (S, S) one-hot matmul.
+    """
+    r, s = src.shape
+    if s <= _LANE:
+        return jnp.take_along_axis(src, lo, axis=1)
+    assert s % _LANE == 0, s
+    nt = s // _LANE
+    outs = []
+    for u in range(nt):
+        sl = slice(u * _LANE, (u + 1) * _LANE)
+        lo_u, hi_u = lo[:, sl], hi[:, sl]
+        acc = jnp.zeros((r, _LANE), src.dtype)
+        for t in range(nt):
+            g = jnp.take_along_axis(src[:, t * _LANE:(t + 1) * _LANE], lo_u, axis=1)
+            acc = jnp.where(hi_u == t, g, acc)
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=1)
 
 
 def _kernel(
     num_iterations,
     min_iterations,
-    num_frames,
+    depth,
+    block_frames,
     scal_ref,       # SMEM (C, 40): params + K + iK + init pose, per chunk
-    corr_ref,       # (F, 3, S): idx1, idx2, valid rows per frame   [chunk c]
-    prev_ref,       # (F, 2, S): prev-frame pixel coords            [chunk c]
-    cur_ref,        # (F, 2, S): current-frame pixel coords         [chunk c]
-    init_lut_ref,   # (S, 1): initial lookup column (f32, -1 = none) [chunk c]
-    init_tri_ref,   # (4, S): initial tri x/y/z/ok rows              [chunk c]
-    out_ref,        # (F, 8, S): pose row, stats row, tri x/y/z/ok rows
+    pix_ref,        # (FB, 5, S): prev u/v, cur u/v, corr-valid rows [c, b]
+    cand_ref,       # (FB, 3*D, S) i32: lo rows, hi rows, ok rows      [c, b]
+    init_tri_ref,   # (4, S): initial tri x/y/z/ok rows                [c]
+    out_ref,        # (FB, 8, S): pose row, stats row, tri x/y/z/ok rows
+    tri_scr,        # VMEM (4, S) carried triangulation across frame blocks
+    pose_scr,       # SMEM (12,) carried pose across frame blocks
 ):
-    """One chunk's ENTIRE frame loop in one grid step.
+    """One frame block of one chunk's tracking loop.
 
-    The previous formulation ran one grid step per frame; at ~2 us of
-    actual per-frame compute the fixed Mosaic grid-step sequencing cost
-    (~25 us/step measured on v5e) dominated the whole tracking program.
-    Here the frame axis is an in-kernel ``fori_loop`` over VMEM-resident
-    per-frame blocks (a 121-frame sequence is ~1.5 MB — far below VMEM),
-    so the sequencing cost is paid ONCE per chunk and the carried state
-    (pose scalars, lookup column, triangulation rows) lives in loop
-    carries instead of cross-step scratch.
+    The grid is (chunks, frame_blocks); blocks execute sequentially with
+    the carried state in scratch, so VMEM holds one block's inputs (plus
+    the pipeline double buffer) regardless of sequence length. Within a
+    block the frame axis is an in-kernel ``fori_loop`` (a per-frame grid
+    step would pay ~25 us of Mosaic sequencing each — 10x the per-frame
+    compute; per frame-BLOCK that cost amortizes to noise).
     """
     c = pl.program_id(0)
-    s = corr_ref.shape[-1]
+    b = pl.program_id(1)
+    s = pix_ref.shape[-1]
 
     z_near, z_far = scal_ref[c, 0], scal_ref[c, 1]
     cols, rows = scal_ref[c, 2], scal_ref[c, 3]
@@ -101,14 +238,20 @@ def _kernel(
     k = tuple(scal_ref[c, 10 + j] for j in range(9))   # K row-major
     ik = tuple(scal_ref[c, 19 + j] for j in range(9))  # K^-1 row-major
 
+    @pl.when(b == 0)
+    def _():
+        tri_scr[:, :] = init_tri_ref[:, :]
+        for j in range(12):
+            pose_scr[j] = scal_ref[c, 28 + j]
+
     def frame_body(i, carry):
-        lut_col, tri_rows, *pose = carry
+        tri_rows, *pose = carry
 
-        idx1 = corr_ref[i, 0, :]
-        idx2 = corr_ref[i, 1, :]
-        cvalid = corr_ref[i, 2, :]
+        u1, v1 = pix_ref[i, 0, :], pix_ref[i, 1, :]
+        u2, v2 = pix_ref[i, 2, :], pix_ref[i, 3, :]
+        cvalid = pix_ref[i, 4, :]
 
-        # ---- lookup-join (vo_complete.cpp:52-66 / pipeline.frame_step) --
+        # ---- world join (vo_complete.cpp:52-66 / pipeline.frame_step) --
         # tri_in_prev = x_curr * tri  (vo_complete.cpp:159), rows (3, S).
         tx, ty, tz = tri_rows[0, :], tri_rows[1, :], tri_rows[2, :]
         tok = tri_rows[3, :]
@@ -116,32 +259,35 @@ def _kernel(
         py = pose[4] * tx + pose[5] * ty + pose[6] * tz + pose[7]
         pz = pose[8] * tx + pose[9] * ty + pose[10] * tz + pose[11]
 
-        oh1 = _onehot(idx1.reshape(1, s), s)
-        # lookup[idx1]: the carried column broadcast against the one-hot,
-        # folded with a sublane reduction (exact — one live element per
-        # column).
-        world_slot = jnp.sum(lut_col * oh1, axis=0)
-        has_world = (cvalid > 0.5) & (world_slot >= 0.0)
-        safe_slot = jnp.where(has_world, world_slot, 0.0)
+        # All depth levels gather the same 4 rows; stack them along the
+        # sublane axis so every (out-tile, src-tile) pair is ONE vreg-level
+        # dynamic gather for the whole chain (4*D sublanes).
+        rows4 = jnp.stack([px, py, pz, tok])                    # (4, S)
+        src = jnp.concatenate([rows4] * depth, axis=0)          # (4D, S)
+        lo = jnp.repeat(cand_ref[i, 0:depth, :], 4, axis=0)     # (4D, S)
+        hi = jnp.repeat(cand_ref[i, depth:2 * depth, :], 4, axis=0)
+        g = _lane_gather(src, lo, hi)                           # (4D, S)
 
-        ohs = _onehot(safe_slot.reshape(1, s), s)
-        g = _gather(jnp.stack([px, py, pz, tok]), ohs)      # (4, S)
-        wx, wy, wz, sok = g[0, :], g[1, :], g[2, :], g[3, :]
-        weight = has_world.astype(jnp.float32) * sok
-
-        oh2 = _onehot(idx2.reshape(1, s), s)
-        mcur = _gather(cur_ref[i], oh2)                     # (2, S) measured
-        mx, my = mcur[0, :], mcur[1, :]
+        # First-valid select over the chain (reference first-wins order).
+        wx, wy, wz = g[0, :], g[1, :], g[2, :]
+        have = (cand_ref[i, 2 * depth, :] > 0) & (g[3, :] > 0.5)
+        for d in range(1, depth):
+            ok_d = (cand_ref[i, 2 * depth + d, :] > 0) & (g[4 * d + 3, :] > 0.5)
+            take = ok_d & ~have
+            wx = jnp.where(take, g[4 * d + 0, :], wx)
+            wy = jnp.where(take, g[4 * d + 1, :], wy)
+            wz = jnp.where(take, g[4 * d + 2, :], wz)
+            have = have | ok_d
+        weight = have.astype(jnp.float32)
 
         # ---- PICP Gauss-Newton (picp_solver.cpp:98-112, early-exit) ----
         # Sanitize dead slots exactly like ops.picp.solve: 0 * NaN = NaN
         # would poison the in-loop H/b lane reductions.
-        live = weight > 0.0
-        gwx = jnp.where(live, wx, 1.0)
-        gwy = jnp.where(live, wy, 1.0)
-        gwz = jnp.where(live, wz, 1.0)
-        gmx = jnp.where(live, mx, 0.0)
-        gmy = jnp.where(live, my, 0.0)
+        gwx = jnp.where(have, wx, 1.0)
+        gwy = jnp.where(have, wy, 1.0)
+        gwz = jnp.where(have, wz, 1.0)
+        gmx = jnp.where(have, u2, 0.0)
+        gmy = jnp.where(have, v2, 0.0)
         eye = (1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0)
         pose0 = tuple(
             jnp.where(warm > 0.5, pose[j], eye[j]) for j in range(12)
@@ -155,9 +301,6 @@ def _kernel(
         chi_in, chi_out, n_in = final[13], final[14], final[15]
 
         # ---- mid-point triangulation, prev-frame coords (utils.cpp:36-76) -
-        p1 = _gather(prev_ref[i], oh1)                      # (2, S) image-1
-        u1, v1 = p1[0, :], p1[1, :]
-        u2, v2 = mx, my
         # i_x = inverse(new_pose): R^T, -R^T t.
         r = (new_pose[0], new_pose[1], new_pose[2],
              new_pose[4], new_pose[5], new_pose[6],
@@ -202,22 +345,6 @@ def _kernel(
         nty = jnp.where(new_ok, vy, 0.0)
         ntz = jnp.where(new_ok, vz, 0.0)
 
-        # ---- first-wins lookup rebuild (_lookup_from_corr scatter-min) ----
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1).astype(
-            jnp.float32
-        )
-        contrib = (cvalid > 0.5) & new_ok
-        # value[t, j] = j if (idx2[j] == t and contrib[j]) else BIG; min
-        # over j.
-        tgt = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0).astype(
-            jnp.float32
-        )
-        vals = jnp.where(
-            (tgt == idx2.reshape(1, s)) & contrib.reshape(1, s), lanes, _BIG
-        )
-        lut_min = jnp.min(vals, axis=1, keepdims=True)       # (S, 1)
-        new_lut = jnp.where(lut_min < _BIG, lut_min, -1.0)
-
         # ---- emit this frame's rows, carry the state ----
         pose_row = jnp.pad(jnp.stack(new_pose), (0, s - 12))
         stats_row = jnp.pad(
@@ -232,54 +359,80 @@ def _kernel(
                 jnp.zeros((2, s), jnp.float32),
             ]
         )
-        return (new_lut, new_tri_rows) + new_pose
+        return (new_tri_rows,) + new_pose
 
-    init = (
-        init_lut_ref[:, :],
-        init_tri_ref[:, :],
-    ) + tuple(scal_ref[c, 28 + j] for j in range(12))
-    jax.lax.fori_loop(0, num_frames, frame_body, init)
+    init = (tri_scr[:, :],) + tuple(pose_scr[j] for j in range(12))
+    final = jax.lax.fori_loop(0, block_frames, frame_body, init)
+    tri_scr[:, :] = final[0]
+    for j in range(12):
+        pose_scr[j] = final[1 + j]
+
+
+def _frame_block(f: int, s: int, depth: int) -> int:
+    """Frames per grid block: bounds per-block VMEM to ~4 MB (x2 for the
+    pipeline double buffer) while keeping the 25 us/block Mosaic grid-step
+    cost amortized to < 0.5 us/frame."""
+    rows = 5 + 3 * depth + 8  # pix + cand + out rows, all (S,) f32/i32
+    budget = 4 * 1024 * 1024
+    fb = max(8, budget // (rows * s * 4))
+    return min(f, fb)
 
 
 def _run_batched(
     num_iterations: int,
     min_iterations: int,
+    depth: int,
     keep_outliers: bool,
     warm_start: bool,
     interpret: bool,
     camera_matrix: Array,     # (C, 3, 3)
     cam_params: Array,        # (C, 4)
     x_init: Array,            # (C, 4, 4)
-    init_lookup: Array,       # (C, S)
     init_tri: Array,          # (C, S, 3)
     init_tri_ok: Array,       # (C, S)
-    corr_idx1: Array,         # (C, F, S)
-    corr_idx2: Array,         # (C, F, S)
-    corr_valid: Array,        # (C, F, S)
-    prev_points: Array,       # (C, F, S, 2)
-    cur_points: Array,        # (C, F, S, 2)
+    cand_lo: Array,           # (C, F, D, S) i32
+    cand_hi: Array,           # (C, F, D, S) i32
+    cand_ok: Array,           # (C, F, D, S) bool
+    prev_al: Array,           # (C, F, S, 2) pre-gathered reference pixels
+    cur_al: Array,            # (C, F, S, 2) pre-gathered current pixels
+    corr_valid: Array,        # (C, F, S) bool
     kernel_threshold: Array,  # (C,)
     damping: Array,           # (C,)
     tolerance: Array,         # (C,)
     min_num_inliers: Array,   # (C,)
 ) -> Tuple[Array, Array, Array, Array]:
-    """Chunk-batched fused tracking: grid (C,), whole frame loop per step.
+    """Chunk-batched fused tracking: grid (C, NB), frame blocks of FB.
 
-    Chunks are independent; each grid step runs its chunk's entire frame
-    loop as an in-kernel fori_loop over VMEM-resident frame blocks (see
-    ``_kernel``).
+    Chunks are independent grid rows; each chunk's frame blocks execute
+    sequentially with the carried state in scratch (see ``_kernel``).
     """
-    c, f, s = corr_idx1.shape
-    corr = jnp.stack(
+    c, f, _, s = cand_lo.shape
+    fb = _frame_block(f, s, depth)
+    nb = -(-f // fb)
+    f_pad = nb * fb
+
+    pix = jnp.concatenate(
         [
-            corr_idx1.astype(jnp.float32),
-            corr_idx2.astype(jnp.float32),
-            corr_valid.astype(jnp.float32),
+            prev_al.transpose(0, 1, 3, 2),
+            cur_al.transpose(0, 1, 3, 2),
+            corr_valid.astype(jnp.float32)[:, :, None, :],
         ],
         axis=2,
-    )                                                     # (C, F, 3, S)
-    prev_t = prev_points.transpose(0, 1, 3, 2)            # (C, F, 2, S)
-    cur_t = cur_points.transpose(0, 1, 3, 2)
+    )                                                     # (C, F, 5, S)
+    cand = jnp.concatenate(
+        [
+            cand_lo.astype(jnp.int32),
+            cand_hi.astype(jnp.int32),
+            cand_ok.astype(jnp.int32),
+        ],
+        axis=2,
+    )                                                     # (C, F, 3D, S)
+    if f_pad != f:
+        # Padded frames carry zero validity: the solver sees zero weight,
+        # applies no update (dx = 0 exits after min_iterations) and the
+        # pose/tri carry passes through unchanged; outputs are sliced off.
+        pix = jnp.pad(pix, ((0, 0), (0, f_pad - f), (0, 0), (0, 0)))
+        cand = jnp.pad(cand, ((0, 0), (0, f_pad - f), (0, 0), (0, 0)))
 
     def make_scal(cm, cp, x0, kt, dmp, tol, min_inl):
         return jnp.concatenate(
@@ -305,7 +458,6 @@ def _run_batched(
         camera_matrix, cam_params, x_init, kernel_threshold, damping, tolerance,
         min_num_inliers,
     )                                                     # (C, 40)
-    init_lut = init_lookup.astype(jnp.float32).reshape(c, s, 1)
     init_tri_rows = jnp.concatenate(
         [
             init_tri.transpose(0, 2, 1),
@@ -315,36 +467,35 @@ def _run_batched(
     )                                                     # (C, 4, S)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, num_iterations, min_iterations, f),
-        grid=(c,),
+        functools.partial(_kernel, num_iterations, min_iterations, depth, fb),
+        grid=(c, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (None, f, 3, s), lambda c: (c, 0, 0, 0),
+                (None, fb, 5, s), lambda c, b: (c, b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, f, 2, s), lambda c: (c, 0, 0, 0),
+                (None, fb, 3 * depth, s), lambda c, b: (c, b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, f, 2, s), lambda c: (c, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (None, s, 1), lambda c: (c, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (None, 4, s), lambda c: (c, 0, 0), memory_space=pltpu.VMEM
+                (None, 4, s), lambda c, b: (c, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (None, f, 8, s), lambda c: (c, 0, 0, 0), memory_space=pltpu.VMEM
+            (None, fb, 8, s), lambda c, b: (c, b, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((c, f, 8, s), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c, f_pad, 8, s), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((4, s), jnp.float32),
+            pltpu.SMEM((12,), jnp.float32),
+        ],
         interpret=interpret,
-    )(scal, corr, prev_t, cur_t, init_lut, init_tri_rows)
+    )(scal, pix, cand, init_tri_rows)
 
+    out = out[:, :f]
     pose_rows = out[:, :, 0, :12].reshape(c, f, 3, 4)
     bottom = jnp.broadcast_to(
         jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32).reshape(1, 1, 1, 4),
@@ -358,29 +509,30 @@ def _run_batched(
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_fn(num_iterations, min_iterations, keep_outliers, warm_start, interpret):
+def _fused_fn(num_iterations, min_iterations, depth, keep_outliers, warm_start,
+              interpret):
     """custom_vmap-wrapped single-sequence tracker for these static options.
 
     vmap-ing the fused call (the chunk axis of parallel/posegraph) must NOT
     go through Pallas' generic batching rule — it blocks SMEM operands —
-    so the batch rule dispatches to the explicit (C, F) grid kernel, whose
+    so the batch rule dispatches to the explicit (C, NB) grid kernel, whose
     chunk axis costs nothing extra (same scratch, same per-frame blocks).
     """
 
     @jax.custom_batching.custom_vmap
     def fn(
-        camera_matrix, cam_params, x_init, init_lookup, init_tri, init_tri_ok,
-        corr_idx1, corr_idx2, corr_valid, prev_points, cur_points,
+        camera_matrix, cam_params, x_init, init_tri, init_tri_ok,
+        cand_lo, cand_hi, cand_ok, prev_al, cur_al, corr_valid,
         kernel_threshold, damping, tolerance, min_num_inliers,
     ):
         args = (
-            camera_matrix, cam_params, x_init, init_lookup, init_tri,
-            init_tri_ok, corr_idx1, corr_idx2, corr_valid, prev_points,
-            cur_points, kernel_threshold, damping, tolerance, min_num_inliers,
+            camera_matrix, cam_params, x_init, init_tri, init_tri_ok,
+            cand_lo, cand_hi, cand_ok, prev_al, cur_al, corr_valid,
+            kernel_threshold, damping, tolerance, min_num_inliers,
         )
         outs = _run_batched(
-            num_iterations, min_iterations, keep_outliers, warm_start, interpret,
-            *(a[None] for a in args),
+            num_iterations, min_iterations, depth, keep_outliers, warm_start,
+            interpret, *(a[None] for a in args),
         )
         return jax.tree.map(lambda x: x[0], outs)
 
@@ -391,7 +543,7 @@ def _fused_fn(num_iterations, min_iterations, keep_outliers, warm_start, interpr
             for a, b in zip(args, in_batched)
         )
         outs = _run_batched(
-            num_iterations, min_iterations, keep_outliers, warm_start,
+            num_iterations, min_iterations, depth, keep_outliers, warm_start,
             interpret, *args_b
         )
         return outs, jax.tree.map(lambda _: True, outs)
@@ -403,14 +555,12 @@ def track_frames_fused(
     camera_matrix: Array,     # (3, 3)
     cam_params: Array,        # (4,) z_near, z_far, cols, rows
     x_init: Array,            # (4, 4) carried pose entering the loop
-    init_lookup: Array,       # (S,) int32 measurement->slot lookup (-1 none)
-    init_tri: Array,          # (S, 3) carried triangulation
+    init_tri: Array,          # (S, 3) carried triangulation (bootstrap)
     init_tri_ok: Array,       # (S,) bool
-    corr_idx1: Array,         # (F, S) int32
-    corr_idx2: Array,         # (F, S) int32
+    cand: JoinCandidates,     # (F, D, S) static join chains (join_candidates)
+    prev_al: Array,           # (F, S, 2) reference pixels, lane-aligned
+    cur_al: Array,            # (F, S, 2) current pixels, lane-aligned
     corr_valid: Array,        # (F, S) bool
-    prev_points: Array,       # (F, S, 2) reference-frame pixels per step
-    cur_points: Array,        # (F, S, 2) current-frame pixels per step
     num_iterations: int,
     kernel_threshold: Array,
     damping: Array,
@@ -423,28 +573,32 @@ def track_frames_fused(
 ) -> Tuple[Array, Array, Array, Array]:
     """Run the whole F-frame tracking loop in one kernel launch.
 
+    Callers pre-gather the pixel rows (``prev_al[i] = prev_pts[i][idx1[i]]``,
+    ``cur_al[i] = cur_pts[i][idx2[i]]``) and precompute the join chains with
+    :func:`join_candidates`; the kernel then never touches raw indices.
     Returns (poses (F, 4, 4), tri_points (F, S, 3), tri_valid (F, S),
     stats (F, 4) = [chi_inliers, chi_outliers, num_inliers, num_solver_corr])
-    — bitwise the same contract as scanning models/pipeline.frame_step with
+    — the same contract as scanning models/pipeline.frame_step with
     merge_map=False (the map merge is hoisted by the caller either way).
     vmap over a leading chunk axis folds into the kernel grid (see _fused_fn).
     """
+    depth = cand.lo.shape[1]
     fn = _fused_fn(
-        int(num_iterations), int(min_iterations), bool(keep_outliers),
-        bool(warm_start), bool(interpret)
+        int(num_iterations), int(min_iterations), int(depth),
+        bool(keep_outliers), bool(warm_start), bool(interpret)
     )
     return fn(
         camera_matrix,
         cam_params,
         x_init,
-        init_lookup,
         init_tri,
         init_tri_ok,
-        corr_idx1,
-        corr_idx2,
+        cand.lo,
+        cand.hi,
+        cand.ok,
+        prev_al,
+        cur_al,
         corr_valid,
-        prev_points,
-        cur_points,
         jnp.asarray(kernel_threshold, jnp.float32),
         jnp.asarray(damping, jnp.float32),
         jnp.asarray(tolerance, jnp.float32),

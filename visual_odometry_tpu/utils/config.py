@@ -122,6 +122,13 @@ class VOConfig:
     # lax.scan over frame_step, "auto" = fused on TPU (SE(3) only; the
     # planar pipeline always scans).
     scan_backend: str = "auto"
+    # First-wins depth of the fused kernel's precomputed world-join chains
+    # (ops/pallas/frame_kernel.join_candidates). Exact reference semantics
+    # whenever no measurement is the target of more than this many same-
+    # frame correspondences whose earlier candidates ALL failed
+    # triangulation; measured multiplicity on example_data is 1, so 2
+    # carries a spare level. Raise only for pathological matchers.
+    fused_join_depth: int = 2
 
     def replace(self, **kw) -> "VOConfig":
         return dataclasses.replace(self, **kw)
