@@ -160,3 +160,155 @@ def best_match_pallas(
         dist = jnp.where(win_masked, _BIG, dist)
     dist = jnp.where(q_mask, jnp.maximum(dist, 0.0), _BIG)
     return dist, idx
+
+
+# ---------------------------------------------------------------------------
+# Batched pair matcher: BOTH match directions for a batch of frame pairs in
+# one pass, distance matrix never leaving VMEM.
+#
+# The hoisted per-sequence matcher (pipeline._batched_match) needs, for
+# every consecutive frame pair, the top-1 match in BOTH directions (the
+# kd-side selection of vo_complete.cpp:15-33 picks per pair). The dense XLA
+# form materializes the (B, N, N) distance tensor in HBM (2.1 GB at
+# B=510, N=1024) and re-reads it for each of the four (arg)min reductions —
+# and inside large programs XLA rematerializes the whole distance
+# computation per consumer (measured: the matcher stage alone cost 46 ms of
+# a 91 ms tracking program at S=1024). Here each frame pair's (N, N)
+# distances are computed and fully reduced inside one kernel: HBM traffic
+# is 2*N*128 descriptor floats in and 4 N-vectors out per pair.
+# ---------------------------------------------------------------------------
+
+
+def _pairs_kernel(block_frames, precision, a_ref, b_ref, auxc_ref, auxr_ref,
+                  d1_ref, i1_ref, d2_ref, i2_ref):
+    """One block of frame pairs; per frame the full join in VMEM.
+
+    Layouts per frame i: a/b (N, 128) lane-padded descriptors,
+    auxc (N, 2) = [|a|^2, mask1] columns, auxr (2, N) = [|b|^2, mask2]
+    rows; outputs (1, N) for the column direction (best frame-1 row per
+    frame-2 point) and (N, 1) for the row direction — each reduction is
+    emitted in its natural orientation, no transposes anywhere.
+    """
+
+    def body(i, _):
+        a = a_ref[i]                      # (N, 128)
+        b = b_ref[i]                      # (N, 128)
+        a2 = auxc_ref[i, :, 0:1]          # (N, 1)
+        m1 = auxc_ref[i, :, 1:2]          # (N, 1)
+        b2 = auxr_ref[i, 0:1, :]          # (1, N)
+        m2 = auxr_ref[i, 1:2, :]          # (1, N)
+        n = a.shape[0]
+
+        gram = jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )                                 # (N, N) rows=frame1, cols=frame2
+        # Bitwise the XLA path: max(a2 + b2 - 2 gram, 0), masked to _BIG
+        # (ops/matching.pairwise_sq_dists + match_appearances).
+        d = jnp.maximum(a2 + b2 - 2.0 * gram, 0.0)
+        d = jnp.where((m1 > 0.5) & (m2 > 0.5), d, _BIG)
+
+        bigi = jnp.int32(2**30)
+        # Direction A (kd = frame 1): per frame-2 column, first best row.
+        cmin = jnp.min(d, axis=0, keepdims=True)               # (1, N)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        carg = jnp.min(jnp.where(d <= cmin, rows, bigi), axis=0,
+                       keepdims=True)
+        # Direction B (kd = frame 2): per frame-1 row, first best column.
+        rmin = jnp.min(d, axis=1, keepdims=True)               # (N, 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        rarg = jnp.min(jnp.where(d <= rmin, cols, bigi), axis=1,
+                       keepdims=True)
+
+        d1_ref[i] = cmin
+        i1_ref[i] = carg
+        d2_ref[i] = rmin
+        i2_ref[i] = rarg
+        return 0
+
+    jax.lax.fori_loop(0, block_frames, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
+def match_pairs_pallas(
+    app1: Array,     # (B, N, D)
+    mask1: Array,    # (B, N) bool
+    app2: Array,     # (B, N, D)
+    mask2: Array,    # (B, N) bool
+    interpret: bool = False,
+    precision: str = "highest",
+) -> Tuple[Array, Array, Array, Array]:
+    """Both-direction top-1 matches for B frame pairs.
+
+    Returns (best1_d, best1, best2_d, best2), each (B, N):
+    ``best1[j]`` = frame-1 index best matching frame-2 point j (the
+    kd-is-frame-1 direction), ``best2[i]`` = frame-2 index best matching
+    frame-1 point i. Bitwise identical to the dense XLA reductions in
+    ops.matching.match_appearances (same gram expression at the same
+    precision, first index wins ties).
+    """
+    b, n, d_dim = app1.shape
+    # Descriptors ship UNPADDED: the MXU zero-pads the contraction to its
+    # 128 lanes either way, so lane-padding on the host only adds a 12.8x
+    # larger HBM array + a ~1.6 ms pad kernel (measured at B=510, N=1024)
+    # for bitwise-identical grams.
+    a_p, b_p = app1, app2
+    a2 = jnp.sum(app1 * app1, -1)     # unpadded-row reduction, as XLA path
+    b2 = jnp.sum(app2 * app2, -1)
+    auxc = jnp.stack([a2, mask1.astype(jnp.float32)], axis=-1)   # (B, N, 2)
+    auxr = jnp.stack([b2, mask2.astype(jnp.float32)], axis=1)    # (B, 2, N)
+
+    # Frames per grid block: ~8 MB of (VMEM-resident, lane-padded)
+    # descriptor blocks per step.
+    per_frame = 2 * n * 128 * 4
+    fb = max(1, min(b, (8 * 1024 * 1024) // per_frame))
+    nb = -(-b // fb)
+    b_pad = nb * fb
+    if b_pad != b:
+        pad = ((0, b_pad - b), (0, 0), (0, 0))
+        a_p = jnp.pad(a_p, pad)
+        b_p = jnp.pad(b_p, pad)
+        auxc = jnp.pad(auxc, pad)
+        auxr = jnp.pad(auxr, pad)
+
+    lanes = a_p.shape[-1]
+    d1, i1, d2, i2 = pl.pallas_call(
+        functools.partial(
+            _pairs_kernel, fb,
+            jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT,
+        ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((fb, n, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, n, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, n, 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, 2, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((fb, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 1, n), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, n, 1), jnp.int32),
+        ],
+        # Descriptor blocks + the in-flight (N, N) distance tile exceed the
+        # conservative 16 MB default scoped-VMEM limit at N=1024; v5e has
+        # 128 MB of physical VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(a_p, b_p, auxc, auxr)
+
+    return (
+        d1[:b, 0, :],
+        i1[:b, 0, :],
+        d2[:b, :, 0],
+        i2[:b, :, 0],
+    )

@@ -118,6 +118,34 @@ def check_matcher(interpret: bool = False, seed: int = 2) -> Dict[str, float]:
     return {"matcher_dist_diff": d_diff}
 
 
+def check_pair_matcher(interpret: bool = False, seed: int = 3) -> Dict[str, float]:
+    """Batched pair-matcher kernel vs the vmapped dense matcher: identical
+    validity, indices and kd-side selection (compiled unless ``interpret``)."""
+    rng = np.random.default_rng(seed)
+    b, n, d = 6, 128, 10
+    a1 = rng.uniform(-1, 1, (b, n, d)).astype(np.float32)
+    a2 = a1 + rng.normal(0, 0.02, (b, n, d)).astype(np.float32)
+    m1 = rng.uniform(size=(b, n)) > 0.2
+    m2 = rng.uniform(size=(b, n)) > 0.2
+    ref = matching.match_appearances_batch(
+        jnp.asarray(a1), jnp.asarray(m1), jnp.asarray(a2), jnp.asarray(m2),
+        backend="xla",
+    )
+    got = matching.match_appearances_batch(
+        jnp.asarray(a1), jnp.asarray(m1), jnp.asarray(a2), jnp.asarray(m2),
+        backend="pairs_pallas", interpret=interpret,
+    )
+    valid_equal = bool((np.asarray(ref.valid) == np.asarray(got.valid)).all())
+    v = np.asarray(ref.valid)
+    idx_equal = bool(
+        (np.asarray(ref.idx1)[v] == np.asarray(got.idx1)[v]).all()
+        and (np.asarray(ref.idx2)[v] == np.asarray(got.idx2)[v]).all()
+    )
+    assert valid_equal
+    assert idx_equal
+    return {"pair_matcher_n_valid": float(v.sum())}
+
+
 def run_all(interpret: bool | None = None) -> Dict[str, float]:
     """Run every backend-equality check; raises AssertionError on mismatch.
 
@@ -130,4 +158,5 @@ def run_all(interpret: bool | None = None) -> Dict[str, float]:
     out.update(check_picp_solver(interpret))
     out.update(check_frame_pipeline(interpret))
     out.update(check_matcher(interpret))
+    out.update(check_pair_matcher(interpret))
     return out
