@@ -135,41 +135,61 @@ def merge_stream(
     keys = jnp.where(mask[:, None], keys, big)
     time = jnp.where(mask, jnp.arange(t, dtype=jnp.int32), jnp.int32(t))
 
-    # Sort 1: group identical keys, time-ascending within each group. Only
-    # the keys plus a row index ride the sorting network; payloads (points,
-    # mask) are gathered by the permutation afterwards — a TPU sort's cost
-    # scales with the bytes it carries, and the payload gather is one cheap
-    # take() (measured: the payload-carrying form dominated the whole
-    # pipeline's map fold).
-    row = jnp.arange(t, dtype=jnp.int32)
+    # Sort 1: group identical keys, time-ascending within each group,
+    # payloads (points, mask) carried THROUGH the sort. A TPU sort's cost
+    # scales with the bytes it carries, but XLA lowers the alternative — a
+    # keys-plus-row-index sort followed by payload gathers — to serialized
+    # scalar-core gathers (~3 ms per (T,) column at T=523k, measured: the
+    # gathers cost ~2x what the widened sort does).
     s = jax.lax.sort(
-        tuple(keys[:, i] for i in range(d)) + (time, row), num_keys=d + 1
+        tuple(keys[:, i] for i in range(d))
+        + (time, points[:, 0], points[:, 1], points[:, 2], mask),
+        num_keys=d + 1,
     )
     skeys = jnp.stack(s[:d], axis=1)
     stime = s[d]
-    perm = s[d + 1]
-    spts = points[perm]
-    smask = mask[perm]
+    spts = jnp.stack(s[d + 1:d + 4], axis=1)
+    smask = s[d + 4]
 
     new_group = jnp.concatenate(
         [jnp.ones((1,), bool), jnp.any(skeys[1:] != skeys[:-1], axis=1)]
     )
-    group_id = jnp.cumsum(new_group.astype(jnp.int32)) - 1
-    idx = jnp.arange(t, dtype=jnp.int32)
-    last_of_group = jax.ops.segment_max(idx, group_id, num_segments=t)
-    final_pts = spts[last_of_group[group_id]]  # per row: its group's final position
+    # Per row, its group's LAST observation position (groups are
+    # time-ascending runs): a reverse segmented fill — the run's final row
+    # propagates backwards to every member. No segment-max scatter, no
+    # gather (both serialize on the scalar core).
+    last_of_run = jnp.concatenate([new_group[1:], jnp.ones((1,), bool)])
+
+    def fill(a, b):
+        # In a reverse scan the SECOND argument is the block nearer the
+        # row itself (lower index); its boundary flag takes priority —
+        # verified against the [3,3,3,6,6,6] oracle.
+        (vx, vy, vz, r1), (wx, wy, wz, r2) = a, b
+        return (
+            jnp.where(r2, wx, vx),
+            jnp.where(r2, wy, vy),
+            jnp.where(r2, wz, vz),
+            r1 | r2,
+        )
+
+    fx, fy, fz, _ = jax.lax.associative_scan(
+        fill, (spts[:, 0], spts[:, 1], spts[:, 2], last_of_run), reverse=True
+    )
 
     is_entry = new_group & smask  # one row per real landmark (the first obs)
     order_key = jnp.where(is_entry, stime, jnp.int32(t + 1))
 
     # Sort 2: entries by first-observation time = the reference append
-    # order. Same trick: sort (key, index) only, gather the 14 payload
-    # columns afterwards.
-    s2 = jax.lax.sort((order_key, row), num_keys=1)
-    perm2 = s2[1]
-    pts_out = final_pts[perm2]
-    keys_out = skeys[perm2]
-    entry_out = is_entry[perm2]
+    # order (lax.sort is stable: ties keep sort-1 order, as the previous
+    # explicit row-index tiebreak did), again payload-carrying.
+    s2 = jax.lax.sort(
+        (order_key, fx, fy, fz, is_entry)
+        + tuple(skeys[:, i] for i in range(d)),
+        num_keys=1,
+    )
+    pts_out = jnp.stack(s2[1:4], axis=1)
+    entry_out = s2[4]
+    keys_out = jnp.stack(s2[5:5 + d], axis=1)
 
     if t >= capacity:
         pts_out = pts_out[:capacity]
