@@ -65,19 +65,24 @@ def _load():
             ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
         ]
         lib.vo_free.argtypes = [ctypes.POINTER(ctypes.c_double)]
-        lib.vo_load_sequence.restype = ctypes.c_long
-        lib.vo_load_sequence.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_int,
-            ctypes.c_float,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_int)),
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_int)),
-            ctypes.POINTER(ctypes.c_int),
-        ]
-        lib.vo_free_buf.argtypes = [ctypes.c_void_p]
+        # Bind the whole-sequence loader only if this build exports it: a
+        # stale-but-loadable library from before vo_load_sequence existed
+        # (e.g. a failed rebuild leaving the old .so behind) must keep
+        # serving vo_parse_table instead of disabling ALL native parsing.
+        if hasattr(lib, "vo_load_sequence"):
+            lib.vo_load_sequence.restype = ctypes.c_long
+            lib.vo_load_sequence.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int,
+                ctypes.c_float,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int)),
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.vo_free_buf.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception:
         _lib = None

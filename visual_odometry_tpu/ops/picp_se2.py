@@ -157,8 +157,13 @@ def solve_se2(
     tolerance: float = 0.0,
     cam_in_robot: Optional[Array] = None,
     min_num_inliers: int = 0,
+    min_iterations: int = 1,
 ) -> Tuple[Camera, PICPStats]:
     """Planar PICP solve, same loop structure as the SE(3) ``picp.solve``.
+
+    ``min_iterations`` keeps the tolerance exit from firing before that
+    many rounds (same contract as ``picp.solve``: a warm-started solve
+    takes a small first step near its prior even when not converged).
 
     ``cam_in_robot=None`` means the camera IS the planar body (identity
     mount). The returned pose lies exactly in the conjugated SE(2) subgroup
@@ -192,7 +197,7 @@ def solve_se2(
 
     def cond(carry):
         _, _, it, dx2 = carry
-        return (it < num_iterations) & (dx2 > tol)
+        return (it < num_iterations) & ((dx2 > tol) | (it < min_iterations))
 
     def body(carry):
         cam, _, it, _ = carry

@@ -441,7 +441,7 @@ def run_sequence_chunked(
         if refine_iterations > 0:
             trajectory, final_map = refine_stitched(
                 camera, config, trajectory, final_map, points, appearances,
-                masks, num_iterations=refine_iterations,
+                masks, num_iterations=refine_iterations, mesh=mesh,
             )
         return trajectory, final_map, diags
 
@@ -478,6 +478,6 @@ def run_sequence_chunked(
     if refine_iterations > 0:
         trajectory, final_map = refine_stitched(
             camera, config, trajectory, final_map, points, appearances, masks,
-            num_iterations=refine_iterations,
+            num_iterations=refine_iterations, mesh=mesh,
         )
     return trajectory, final_map, diags
