@@ -117,7 +117,10 @@ def main() -> int:
     res = apps.run_evaluation(DATA_DIR, out_dir, verbose=False)
     finite = np.isfinite(res.orientation_errors)
     e_theta = float(np.abs(res.orientation_errors[finite]).mean())
-    ok = e_theta < 1e-5 and res.rmse_position < 0.16
+    # Beat-the-baseline thresholds (reference: e_theta 5.31e-6, RMSE_pos
+    # 0.1453; measured here: 2.71e-6 / 0.1409): a regression past either
+    # reference number zeroes the headline.
+    ok = e_theta < 5.3e-6 and res.rmse_position < 0.145
     if not ok:
         print(
             json.dumps(
@@ -132,16 +135,25 @@ def main() -> int:
         )
         return 1
 
-    print(
-        json.dumps(
-            {
-                "metric": "vo_pipeline_throughput",
-                "value": round(fps, 1),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_MEASURED_FPS, 3),
-            }
-        )
-    )
+    # MFU / roofline accounting for the hot kernels (utils/roofline): each
+    # kernel's measured steady-state time against its analytic FLOP/byte
+    # model and the chip's public peaks — the number behind BASELINE.md's
+    # "speed-of-light per chip" target.
+    from visual_odometry_tpu.utils import roofline
+
+    try:
+        roof = roofline.measure()
+    except Exception as e:  # roofline is reporting, never a bench failure
+        roof = {"roofline_error": str(e)[:200]}
+
+    out = {
+        "metric": "vo_pipeline_throughput",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_MEASURED_FPS, 3),
+    }
+    out.update(roof)
+    print(json.dumps(out))
     return 0
 
 

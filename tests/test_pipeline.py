@@ -35,13 +35,14 @@ def test_beats_reference_accuracy(vo_run):
     finite = np.isfinite(res.orientation_errors)
     e_theta = np.abs(res.orientation_errors[finite]).mean()
     # Reference baselines (BASELINE.md): e_theta 5.31e-6, RMSE_pos 0.1453,
-    # RMSE_map 0.1841, scale 0.47337.
-    assert e_theta < 5.4e-6
-    # RMSE_pos swings +-0.005 around the baseline with f32 rounding of the
-    # init; assert the parity band here (the BA refinement stage is the
-    # robust improvement over the baseline).
-    assert res.rmse_position < 0.16
-    assert res.rmse_map is not None and res.rmse_map < 0.25
+    # RMSE_map 0.1841, scale 0.47337. Measured here (2026-08): e_theta
+    # 2.71e-6, RMSE_pos 0.1409, RMSE_map 0.1285 — the guards sit between
+    # the measured values and the reference baselines, so ANY published
+    # metric regressing past the reference fails this test (a ~10% drift
+    # would previously have shipped under a green CI).
+    assert e_theta < 5.3e-6
+    assert res.rmse_position < 0.145
+    assert res.rmse_map is not None and res.rmse_map < 0.184
     assert abs(res.scale - 0.47337) < 0.005
     assert res.n_map_matched > 300
 

@@ -1,0 +1,269 @@
+"""MFU / roofline accounting for the hot kernels.
+
+BASELINE.md sets "PICP Jacobian/Hessian-accumulation and appearance-matching
+kernels at speed-of-light per chip" as a target; this module turns that
+claim into numbers. For each hot kernel it pairs an analytic resource model
+(MXU FLOPs, VPU element-ops, HBM bytes — counted from the kernel code, see
+the *_model functions) with a measured steady-state runtime, and reports
+
+  * achieved GB/s, MXU GFLOP/s and VPU Gop/s,
+  * ``roofline_fraction`` = t_speed_of_light / t_measured, where the
+    speed-of-light time is max(bytes/BW, mxu/peak, vpu/peak) — the fraction
+    of the binding resource's peak the kernel actually sustains,
+  * ``mfu`` = achieved MXU FLOP/s over the chip's matmul peak (meaningful
+    for the MXU-bound matcher; the PICP/frame kernels are VPU/lane-bound by
+    design — their Jacobians are 6-wide, far below MXU shape, which is WHY
+    they are formulated as lane vectors — so their utilization story is
+    ``vpu_fraction``/``roofline_fraction``, not MFU).
+
+Chip peaks (TPU v5e, public spec / jax-ml.github.io/scaling-book): 197
+bf16 TFLOP/s via 4 128x128 MXUs (=> ~1.5 GHz core clock), 819 GB/s HBM,
+16 GB HBM. f32 operands at HIGHEST precision take 6 bf16 MXU passes =>
+f32-highest matmul peak = 197/6 ~= 32.8 TFLOP/s. VPU: 8x128 lanes x 4
+ALUs/lane at the core clock ~= 6.1e12 element-ops/s (an FMA counted as ONE
+op — the conservative convention, since most ops in these kernels are not
+FMAs).
+
+The models count *useful* work only (no padding credit beyond the 128-lane
+descriptor pad the MXU contracts for free) and are deliberately simple —
+each is a lower bound on the true op count, so every fraction reported
+here is a lower bound on the kernel's real utilization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ChipSpec:
+    name: str
+    mxu_f32_flops: float   # f32-at-HIGHEST matmul peak, FLOP/s
+    vpu_ops: float         # element-ops/s (FMA = 1 op)
+    hbm_bw: float          # bytes/s
+
+
+V5E = ChipSpec(
+    name="tpu_v5e",
+    mxu_f32_flops=197e12 / 6.0,
+    vpu_ops=8 * 128 * 4 * 1.5e9,
+    hbm_bw=819e9,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelModel:
+    """Analytic resource footprint of one kernel invocation."""
+
+    name: str
+    mxu_flops: float
+    vpu_ops: float
+    hbm_bytes: float
+
+    def speed_of_light_s(self, chip: ChipSpec) -> float:
+        return max(
+            self.mxu_flops / chip.mxu_f32_flops,
+            self.vpu_ops / chip.vpu_ops,
+            self.hbm_bytes / chip.hbm_bw,
+        )
+
+    def report(self, measured_s: float, chip: ChipSpec) -> Dict[str, float]:
+        sol = self.speed_of_light_s(chip)
+        return {
+            f"{self.name}_time_us": round(measured_s * 1e6, 2),
+            f"{self.name}_gbps": round(self.hbm_bytes / measured_s / 1e9, 1),
+            f"{self.name}_mxu_gflops": round(self.mxu_flops / measured_s / 1e9, 1),
+            f"{self.name}_vpu_gops": round(self.vpu_ops / measured_s / 1e9, 1),
+            f"{self.name}_mfu": round(
+                self.mxu_flops / measured_s / chip.mxu_f32_flops, 4
+            ),
+            f"{self.name}_roofline_fraction": round(sol / measured_s, 4),
+        }
+
+
+# --- analytic models (op counts from the kernel code, cited per term) ----
+
+
+def matcher_model(q: int, k: int) -> KernelModel:
+    """Streaming top-1 matcher (ops/pallas/matcher_kernel.py).
+
+    Gram matmul (Q, 128) x (128, K) at HIGHEST precision -> 2*Q*K*128 MXU
+    FLOPs (descriptors are lane-padded to 128; the MXU contracts 128 lanes
+    per pass, so the pad is physically contracted — counted as useful since
+    it is unavoidable shape, matcher_kernel.py:15-16). VPU: distance
+    assembly + tile (min, argmin) + running-min update ~= 6 ops per (q, k)
+    cell (matcher_kernel.py:55-67). HBM: queries + database once, plus
+    norms and the (dist, idx) outputs.
+    """
+    return KernelModel(
+        name="matcher",
+        mxu_flops=2.0 * q * k * 128,
+        vpu_ops=6.0 * q * k,
+        hbm_bytes=4.0 * (q * 128 + k * 128 + q + k + 2 * q),
+    )
+
+
+# Hand count of gn_loop's per-point per-round element ops
+# (ops/pallas/picp_kernel.py:288-360): projection+K 36, perspective/validity
+# 26, error/robust-kernel 16, Jp*K coefficients 24, J columns 18, 21 H rows
+# x 4 ops + 6 b rows x 4 + 3 stat rows x 2 = 114, stacked (30, N) lane
+# reduction ~30. Total ~264; the O(1) Schur solve + Euler update
+# (~350 scalar ops/round) is excluded (vanishes per point for N >= 128).
+GN_OPS_PER_POINT_ROUND = 264.0
+
+
+def picp_model(n: int, rounds: int) -> KernelModel:
+    """Whole-GN-loop solver (ops/pallas/picp_kernel.solve_fused).
+
+    Pure VPU lane work; HBM traffic is the (3+2+1) input rows once plus the
+    (8, 128) output block — every round after the first reads VMEM only.
+    """
+    return KernelModel(
+        name="picp",
+        mxu_flops=0.0,
+        vpu_ops=GN_OPS_PER_POINT_ROUND * n * rounds,
+        hbm_bytes=4.0 * (6 * n + 8 * 128),
+    )
+
+
+def frame_model(frames: int, s: int, depth: int, rounds: int) -> KernelModel:
+    """Fused frame-loop kernel (ops/pallas/frame_kernel.py), per launch.
+
+    Per frame: carried-triangulation transform 18*S, the tiled-gather join
+    ~4 ops per (out-lane, src-tile) pair over 4*depth sublanes
+    (= 4 * 4*depth * S * ceil(S/128)), chain select ~6*depth*S, GN rounds
+    (GN_OPS_PER_POINT_ROUND * rounds * S), mid-point triangulation ~80*S
+    (frame_kernel.py _kernel). HBM: (5 pix + 3*depth cand + 8 out) rows of
+    S f32 per frame.
+    """
+    nt = max(1, -(-s // 128))
+    join = 4.0 * (4 * depth) * 128 * nt * nt
+    per_frame = (
+        18.0 * s
+        + join
+        + 6.0 * depth * s
+        + GN_OPS_PER_POINT_ROUND * rounds * s
+        + 80.0 * s
+    )
+    return KernelModel(
+        name="frame",
+        mxu_flops=0.0,
+        vpu_ops=frames * per_frame,
+        hbm_bytes=frames * 4.0 * (5 + 3 * depth + 8) * s,
+    )
+
+
+# --- measured utilization on the current device --------------------------
+
+
+def _steady_state_s(fn, reps: int = 30, rounds: int = 3) -> float:
+    """Best-of-rounds steady-state seconds per call, queue depth ``reps``
+    (the tunnel's ~2 ms per-call completion latency overlaps across queued
+    programs; single-shot timing under-reports the chip)."""
+    import jax
+
+    jax.block_until_ready(fn())  # compile
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        rs = [fn() for _ in range(reps)]
+        jax.block_until_ready(rs)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+def measure(seed: int = 0) -> Dict[str, float]:
+    """Time the three hot kernels at production shapes on the current
+    device and report achieved-vs-peak utilization for each.
+
+    Shapes: matcher Q=1024 x K=131072 (map-relocalization scale), PICP
+    N=1024 x 100 fixed rounds, frame loop S=1024 x 10 fixed rounds x 128
+    frames. Fixed GN budgets (tolerance < 0) make the analytic op model
+    exact — the early-exit production path can only do LESS work.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import matching
+    from ..ops.pallas import frame_kernel, picp_kernel
+    from . import synthetic
+
+    rng = np.random.default_rng(seed)
+    chip = V5E
+    out: Dict[str, float] = {"chip": chip.name}  # type: ignore[dict-item]
+
+    # 1. matcher at map scale.
+    q_n, k_n = 1024, 131072
+    db = jnp.asarray(rng.uniform(-1, 1, (k_n, 10)), jnp.float32)
+    qs = jnp.asarray(rng.uniform(-1, 1, (q_n, 10)), jnp.float32)
+    db_mask = jnp.ones((k_n,), bool)
+    q_mask = jnp.ones((q_n,), bool)
+    t = _steady_state_s(
+        lambda: matching.best_match(qs, q_mask, db, db_mask, backend="pallas")
+    )
+    out.update(matcher_model(q_n, k_n).report(t, chip))
+
+    # 2. whole-GN-loop PICP solve, fixed budget.
+    n, rounds_gn = 1024, 100
+    world = synthetic.generate_points3d(rng, n)
+    x_gt = synthetic.generate_pose(rng)
+    cam = synthetic.default_camera(np.eye(4, dtype=np.float32))
+    from ..ops.camera import project_points
+
+    meas, valid = project_points(synthetic.default_camera(x_gt), jnp.asarray(world))
+    w = valid.astype(jnp.float32)
+    cam_params = jnp.stack([cam.z_near, cam.z_far, cam.cols, cam.rows])
+    t = _steady_state_s(
+        lambda: picp_kernel.solve_fused(
+            cam.camera_matrix, cam.world_in_camera, cam_params,
+            jnp.asarray(world), meas, w, rounds_gn,
+            jnp.float32(10000.0), jnp.float32(1.0), jnp.float32(-1.0),
+        )
+    )
+    out.update(picp_model(n, rounds_gn).report(t, chip))
+
+    # 3. fused frame loop, fixed budget.
+    frames, s, depth, rounds_fr = 128, 1024, 2, 10
+    world = np.stack(
+        [
+            rng.uniform(-2.5, 2.5, s),
+            rng.uniform(-2.0, 2.0, s),
+            rng.uniform(2.0, 6.0, s),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    uv, valid = project_points(synthetic.default_camera(), jnp.asarray(world))
+    idx = jnp.arange(s, dtype=jnp.int32)
+    ok = jnp.asarray(valid)
+    cand = frame_kernel.JoinCandidates(
+        lo=jnp.broadcast_to(idx % 128, (frames, depth, s)),
+        hi=jnp.broadcast_to(idx // 128, (frames, depth, s)),
+        ok=jnp.broadcast_to(ok, (frames, depth, s)),
+    )
+    pix = jnp.broadcast_to(jnp.asarray(uv), (frames, s, 2))
+    t = _steady_state_s(
+        lambda: frame_kernel.track_frames_fused(
+            cam.camera_matrix, cam_params, jnp.eye(4, dtype=jnp.float32),
+            jnp.asarray(world), ok, cand, pix, pix,
+            jnp.broadcast_to(ok, (frames, s)),
+            rounds_fr, jnp.float32(10000.0), jnp.float32(1.0),
+            jnp.float32(-1.0),
+        )
+    )
+    out.update(frame_model(frames, s, depth, rounds_fr).report(t, chip))
+    out["frame_us_per_frame"] = round(t / frames * 1e6, 2)
+    return out
+
+
+def main() -> None:
+    import json
+
+    print(json.dumps(measure()))
+
+
+if __name__ == "__main__":
+    main()
