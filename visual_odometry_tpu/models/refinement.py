@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,6 +77,92 @@ def build_observations(
                 obs[fi, j] = seq_points[fi, si]
                 mask[fi, j] = True
     return obs, mask
+
+
+def build_observations_coo(
+    seq_points: Array,       # (F, S, 2)
+    seq_appearances: Array,  # (F, S, D)
+    seq_mask: Array,         # (F, S)
+    map_appearances: Array,  # (L, D) landmark appearance keys
+) -> Tuple[Array, Array, Array, Array]:
+    """Flat COO observation list via a DEVICE-side exact-appearance join.
+
+    The sparse-BA form of :func:`build_observations`: instead of an (F, L)
+    grid built by a host double loop, returns (frame_idx (N,), lm_idx (N,),
+    uv (N, 2), mask (N,)) with N = F*S — memory O(#measurements), never
+    O(F*L), and the join runs on device as sort -> segmented fill (the same
+    bit-identical-key technique as landmark_map.merge_stream):
+
+      * keys: appearance rows bitcast to int32 columns (exact float
+        equality == exact bit equality for the verbatim-carried keys,
+        PointCloud.h:56 / evaluate.cpp:76);
+      * one multi-key sort over the concatenated [map rows | measurement
+        rows] with a kind column ordering each key-run as map-row-first;
+      * a segmented max-scan forward-fills each run's landmark index onto
+        its measurement rows (rows whose key has no map entry get -1).
+    """
+    f, s, d = seq_appearances.shape
+    l = map_appearances.shape[0]
+    t = l + f * s
+    apps = jnp.concatenate(
+        [map_appearances, seq_appearances.reshape(f * s, d)], axis=0
+    )
+    keys = jax.lax.bitcast_convert_type(apps.astype(jnp.float32), jnp.int32)
+    # Dead measurement slots get a sentinel key so they group together and
+    # never join a landmark.
+    live = jnp.concatenate(
+        [jnp.ones((l,), bool), seq_mask.reshape(f * s)], axis=0
+    )
+    keys = jnp.where(live[:, None], keys, jnp.int32(2**31 - 1))
+    kind = jnp.concatenate(
+        [jnp.zeros((l,), jnp.int32), jnp.ones((f * s,), jnp.int32)]
+    )
+    row = jnp.arange(t, dtype=jnp.int32)
+    sorted_ = jax.lax.sort(
+        tuple(keys[:, i] for i in range(d)) + (kind, row), num_keys=d + 1
+    )
+    skeys = jnp.stack(sorted_[:d], axis=1)
+    skind = sorted_[d]
+    srow = sorted_[d + 1]
+
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), jnp.any(skeys[1:] != skeys[:-1], axis=1)]
+    )
+    # Landmark index where this row IS a map row, else -1; segmented
+    # max-scan fills it forward within each equal-key run (map rows sort
+    # first via the kind column, so every measurement row in the run sees
+    # its landmark).
+    lm_here = jnp.where(skind == 0, srow, -1)
+
+    def combine(a, b):
+        va, _ = a
+        vb, rb = b
+        return jnp.where(rb, vb, jnp.maximum(va, vb)), a[1] | rb
+
+    filled, _ = jax.lax.associative_scan(
+        combine, (lm_here, is_new)
+    )
+
+    # Scatter the joined lm index back to measurement-row order; map rows
+    # are routed out of range so mode="drop" discards them (a clamped index
+    # would clobber measurement slot 0).
+    meas_sel = skind == 1
+    meas_pos = jnp.where(meas_sel, srow - l, f * s)
+    lm_of_meas = jnp.zeros((f * s,), jnp.int32).at[meas_pos].set(
+        filled.astype(jnp.int32), mode="drop"
+    )
+    has = jnp.zeros((f * s,), bool).at[meas_pos].set(
+        filled >= 0, mode="drop"
+    )
+
+    frame_idx = jnp.repeat(jnp.arange(f, dtype=jnp.int32), s)
+    mask = has & seq_mask.reshape(f * s)
+    return (
+        frame_idx,
+        jnp.where(mask, lm_of_meas, 0),
+        seq_points.reshape(f * s, 2),
+        mask,
+    )
 
 
 def refine_trajectory(
@@ -137,3 +224,74 @@ def refine_trajectory(
 
     rel = relative_from_absolute(np.asarray(refined.poses))
     return rel, np.asarray(refined.landmarks), map_apps, stats
+
+
+def refine_trajectory_sparse(
+    camera_matrix: np.ndarray,
+    trajectory: np.ndarray,        # (F, 4, 4) relative poses from tracking
+    map_state: LandmarkMap,
+    seq_points: np.ndarray,
+    seq_appearances: np.ndarray,
+    seq_mask: np.ndarray,
+    num_iterations: int = 15,
+    damping: float = 1.0,
+    kernel_threshold: float = 10000.0,
+    cg_iterations: int = 64,
+    cg_tolerance: float = 1e-6,
+    mesh=None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, "sba.SparseBAStats"]:
+    """Production-scale refinement: COO observations + matrix-free Schur-CG.
+
+    The sparse twin of :func:`refine_trajectory`: the observation join runs
+    on device (:func:`build_observations_coo`, no host double loop) and the
+    BA step is ``parallel.sparse_ba`` — memory O(#observations), so 512
+    poses x 10^5 landmarks fits where the dense (F, L, 6, 3) coupling
+    cannot. Small-problem equality with the dense path is asserted in
+    tests/test_sparse_ba.py.
+    """
+    from ..parallel import sparse_ba as sba
+
+    map_pts, map_apps = compact(map_state)
+    fi, li, uv, mask = build_observations_coo(
+        jnp.asarray(seq_points), jnp.asarray(seq_appearances),
+        jnp.asarray(seq_mask), jnp.asarray(map_apps),
+    )
+    absolute = absolute_from_relative(trajectory)
+    k = jnp.asarray(camera_matrix, jnp.float32)
+
+    if mesh is None:
+        problem = sba.SparseBAProblem(
+            poses=jnp.asarray(absolute), landmarks=jnp.asarray(map_pts),
+            frame_idx=fi, lm_idx=li, uv=uv, obs_mask=mask,
+        )
+        refined, stats = sba.refine_sparse(
+            k, problem, num_iterations=num_iterations, damping=damping,
+            kernel_threshold=kernel_threshold, cg_iterations=cg_iterations,
+            cg_tolerance=cg_tolerance,
+        )
+        lm_out = np.asarray(refined.landmarks)
+    else:
+        n_lm = mesh.shape["lm"]
+        l = map_pts.shape[0]
+        fi_s, li_s, uv_s, mask_s, l_per = sba.partition_observations(
+            n_lm, l, np.asarray(fi), np.asarray(li), np.asarray(uv),
+            np.asarray(mask),
+        )
+        lms = np.zeros((n_lm * l_per, 3), np.float32)
+        lms[:l] = np.asarray(map_pts)
+        problem = sba.SparseBAProblem(
+            poses=jnp.asarray(absolute), landmarks=jnp.asarray(lms),
+            frame_idx=jnp.asarray(fi_s), lm_idx=jnp.asarray(li_s),
+            uv=jnp.asarray(uv_s), obs_mask=jnp.asarray(mask_s),
+        )
+        step = sba.make_sharded_sparse_ba_step(
+            mesh, damping=damping, kernel_threshold=kernel_threshold,
+            cg_iterations=cg_iterations, cg_tolerance=cg_tolerance,
+        )
+        for _ in range(num_iterations):
+            problem, stats = step(k, problem)
+        lm_out = np.asarray(problem.landmarks)[:l]
+        refined = problem
+
+    rel = relative_from_absolute(np.asarray(refined.poses))
+    return rel, lm_out, np.asarray(map_apps), stats
