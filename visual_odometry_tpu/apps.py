@@ -143,6 +143,69 @@ def run_vo_complete(
     return trajectory, map_state, outs, elapsed
 
 
+def run_relocalize(
+    data_dir: str,
+    out_dir: str = ".",
+    config: VOConfig = DEFAULT_CONFIG,
+    every: int = 10,
+    verbose: bool = True,
+):
+    """Map-scale re-localization sweep (no reference counterpart).
+
+    Tracks the sequence (building the global landmark map), then, every
+    ``every``-th frame, re-localizes that frame AGAINST THE WHOLE MAP
+    (pipeline.relocalize_frame) with the previous absolute pose as prior —
+    the loop-closure / tracking-recovery query mode, and the end-to-end
+    production seat of the streaming map-scale matcher. Writes
+    ``relocalization.txt``: frame, position error vs the tracked absolute
+    pose, orientation error, matches, inliers.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    _, camera, seq = _load(data_dir, config)
+    import jax
+    import jax.numpy as jnp
+
+    pts_d, apps_d, mask_d = jax.block_until_ready(
+        jax.device_put((seq.points, seq.appearances, seq.mask))
+    )
+    _check_bootstrap(config, seq)
+    trajectory, map_state, _ = pipeline.run_sequence(
+        camera, config, pts_d, apps_d, mask_d
+    )
+    trajectory = np.asarray(trajectory)
+    from .models.refinement import absolute_from_relative
+
+    absolute = absolute_from_relative(trajectory)
+
+    rows = []
+    ids = np.full(seq.mask.shape[1:], -1, np.int32)
+    for f in range(every, len(trajectory), every):
+        frame = pipeline.FrameData(
+            jnp.asarray(seq.points[f]), jnp.asarray(seq.appearances[f]),
+            jnp.asarray(seq.mask[f]), jnp.asarray(ids),
+        )
+        pose, stats, n_matches = pipeline.relocalize_frame(
+            camera, config, map_state, frame, jnp.asarray(absolute[f - 1])
+        )
+        pose = np.asarray(pose)
+        err_t = float(np.linalg.norm(pose[:3, 3] - absolute[f][:3, 3]))
+        r_rel = pose[:3, :3].T @ absolute[f][:3, :3]
+        err_r = float(np.trace(np.eye(3) - r_rel))
+        rows.append(
+            (f, err_t, err_r, int(n_matches), int(stats.num_inliers))
+        )
+    with open(os.path.join(out_dir, "relocalization.txt"), "w") as fh:
+        for r in rows:
+            fh.write(f"{r[0]} {r[1]:.6f} {r[2]:.6e} {r[3]} {r[4]}\n")
+    if verbose:
+        errs = np.array([r[1] for r in rows])
+        print(
+            f"relocalized {len(rows)} frames: median pos err "
+            f"{np.median(errs):.4f}, max {errs.max():.4f}"
+        )
+    return rows
+
+
 def run_evaluation(data_dir: str, out_dir: str = ".", verbose: bool = True):
     """Offline metrics (evaluate.cpp), reading the files run_vo_complete wrote."""
     _, gt_xyt = io.load_trajectory(os.path.join(data_dir, "trajectory.dat"))
@@ -625,6 +688,8 @@ def main(argv=None):
         run_real_init(data_dir, out_dir)
     elif cmd == "picp_known_real":
         run_picp_known_real(data_dir, out_dir)
+    elif cmd == "relocalize":
+        run_relocalize(data_dir, out_dir)
     elif cmd == "compute_corr":
         run_compute_corr(data_dir)
     elif cmd == "read_data_test":

@@ -664,6 +664,61 @@ def continue_sequence(
     return jax.lax.scan(body, state, (frames, corr_all))
 
 
+@functools.partial(jax.jit, static_argnames=("config", "interpret"))
+def relocalize_frame(
+    camera: Camera,
+    config: VOConfig,
+    map_state: LandmarkMap,
+    frame: FrameData,
+    x_init: Array,
+    interpret: bool = False,
+) -> Tuple[Array, "picp.PICPStats", Array]:
+    """Map-scale re-localization: query ONE frame against the global map.
+
+    The production seat of the streaming matcher kernel: the database is
+    the whole landmark map (``map_capacity`` rows — at >=
+    ``matching.PALLAS_MIN_DB`` the "auto" backend routes onto the O(Q+K)
+    Pallas kernel, ops/pallas/matcher_kernel.best_match_pallas), the
+    queries are one frame's descriptors, and the matches feed the standard
+    PICP solve for the camera-from-map pose. Same best-match semantics as
+    frame-to-frame association at map scale (eigen_kdtree.h:90-115 /
+    brute_force_search.h:22-41: exact nearest within the strict 0.1
+    radius); the reference has no relocalization mode — its matcher only
+    ever sees consecutive frame pairs (vo_complete.cpp:156).
+
+    ``x_init`` is the pose prior the Gauss-Newton solve starts from (e.g.
+    the last tracked pose before a loss, or identity near the map origin).
+    Returns (camera-from-map-coords pose (4, 4), solver stats,
+    num_matches).
+    """
+    dist, idx = matching.best_match(
+        frame.appearances, frame.mask, map_state.appearances,
+        map_state.valid, backend=config.matcher_backend, interpret=interpret,
+    )
+    r2 = jnp.asarray(config.match_radius, dist.dtype) ** 2
+    valid = frame.mask & (dist < r2)
+    world = map_state.points[jnp.where(valid, idx, 0)]
+    solved, stats = picp.solve(
+        camera.with_pose(x_init),
+        world,
+        frame.points,
+        valid.astype(frame.points.dtype),
+        config.gn_iterations,
+        kernel_threshold=config.kernel_threshold,
+        damping=config.damping,
+        keep_outliers=config.keep_outliers,
+        tolerance=config.gn_tolerance,
+        backend=config.solver_backend,
+        min_num_inliers=config.min_num_inliers,
+        min_iterations=config.gn_min_iterations,
+    )
+    return (
+        solved.world_in_camera,
+        stats,
+        jnp.sum(valid.astype(jnp.int32)),
+    )
+
+
 def run_sequence_known_da(
     camera: Camera,
     config: VOConfig,
