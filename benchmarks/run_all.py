@@ -5,7 +5,7 @@ import subprocess
 import sys
 import os
 
-BENCHES = ["bench_pipeline.py", "bench_matcher.py", "bench_picp.py", "bench_ba.py", "bench_scaling.py", "bench_scale.py"]
+BENCHES = ["bench_pipeline.py", "bench_matcher.py", "bench_picp.py", "bench_ba.py", "bench_scaling.py", "bench_scale.py", "bench_reloc.py", "bench_sparse_ba.py"]
 
 
 def main():

@@ -374,14 +374,22 @@ def _solve_pose_cg(sys: _ReducedSystem, mask_f: Array, num_lm: int,
     rz0 = jnp.sum(r0 * z0)
 
     def cond(carry):
-        it, _, r, _, _ = carry
-        return (it < cg_iterations) & (jnp.sum(r * r) > cg_tolerance ** 2 * rhs_norm)
+        it, _, r, _, rz = carry
+        # rz <= 0 or non-finite: the f32 system lost positive-definiteness
+        # (degenerate geometry) — stop with the best iterate instead of
+        # diverging into NaN.
+        return (
+            (it < cg_iterations)
+            & (jnp.sum(r * r) > cg_tolerance ** 2 * rhs_norm)
+            & (rz > 0.0)
+            & jnp.isfinite(rz)
+        )
 
     def body(carry):
         it, x, r, p, rz = carry
         sp = s_apply(p)
         denom = jnp.sum(p * sp)
-        alpha = rz / jnp.where(denom == 0.0, 1.0, denom)
+        alpha = jnp.where(denom > 0.0, rz / jnp.where(denom == 0.0, 1.0, denom), 0.0)
         x = x + alpha * p
         r = r - alpha * sp
         z = m_apply(r)
