@@ -252,7 +252,6 @@ def match_pairs_pallas(
     # 128 lanes either way, so lane-padding on the host only adds a 12.8x
     # larger HBM array + a ~1.6 ms pad kernel (measured at B=510, N=1024)
     # for bitwise-identical grams.
-    a_p, b_p = app1, app2
     a2 = jnp.sum(app1 * app1, -1)     # unpadded-row reduction, as XLA path
     b2 = jnp.sum(app2 * app2, -1)
     auxc = jnp.stack([a2, mask1.astype(jnp.float32)], axis=-1)   # (B, N, 2)
@@ -262,53 +261,65 @@ def match_pairs_pallas(
     # descriptor blocks per step.
     per_frame = 2 * n * 128 * 4
     fb = max(1, min(b, (8 * 1024 * 1024) // per_frame))
-    nb = -(-b // fb)
-    b_pad = nb * fb
-    if b_pad != b:
-        pad = ((0, b_pad - b), (0, 0), (0, 0))
-        a_p = jnp.pad(a_p, pad)
-        b_p = jnp.pad(b_p, pad)
-        auxc = jnp.pad(auxc, pad)
-        auxr = jnp.pad(auxr, pad)
+    prec = (
+        jax.lax.Precision.HIGHEST if precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
 
-    lanes = a_p.shape[-1]
-    d1, i1, d2, i2 = pl.pallas_call(
-        functools.partial(
-            _pairs_kernel, fb,
-            jax.lax.Precision.HIGHEST if precision == "highest"
-            else jax.lax.Precision.DEFAULT,
-        ),
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((fb, n, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((fb, n, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((fb, n, 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((fb, 2, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((fb, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((fb, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((fb, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((fb, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b_pad, 1, n), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, 1, n), jnp.int32),
-            jax.ShapeDtypeStruct((b_pad, n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, n, 1), jnp.int32),
-        ],
-        # Descriptor blocks + the in-flight (N, N) distance tile exceed the
-        # conservative 16 MB default scoped-VMEM limit at N=1024; v5e has
-        # 128 MB of physical VMEM.
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(a_p, b_p, auxc, auxr)
+    def call(blk, a_s, b_s, c_s, r_s):
+        nb = a_s.shape[0] // blk
+        return pl.pallas_call(
+            functools.partial(_pairs_kernel, blk, prec),
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((blk, n, d_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((blk, n, d_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((blk, n, 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((blk, 2, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((blk, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((blk, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((blk, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((blk, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((a_s.shape[0], 1, n), jnp.float32),
+                jax.ShapeDtypeStruct((a_s.shape[0], 1, n), jnp.int32),
+                jax.ShapeDtypeStruct((a_s.shape[0], n, 1), jnp.float32),
+                jax.ShapeDtypeStruct((a_s.shape[0], n, 1), jnp.int32),
+            ],
+            # Descriptor blocks + the in-flight (N, N) distance tile exceed
+            # the conservative 16 MB default scoped-VMEM limit at N=1024;
+            # v5e has 128 MB of physical VMEM.
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(a_s, b_s, c_s, r_s)
 
+    # Unaligned batch: one full-block call plus a small tail call, rather
+    # than padding the batch axis — the pad op rewrites the whole
+    # descriptor arrays in HBM (2 x 0.8 ms at B=510, N=1024) to feed two
+    # extra frames.
+    b_main = (b // fb) * fb
+    outs = []
+    if b_main:
+        outs.append(call(
+            fb, app1[:b_main], app2[:b_main], auxc[:b_main], auxr[:b_main]
+        ))
+    if b_main != b:
+        outs.append(call(
+            b - b_main, app1[b_main:], app2[b_main:], auxc[b_main:],
+            auxr[b_main:],
+        ))
+    d1, i1, d2, i2 = (
+        outs[0] if len(outs) == 1
+        else tuple(jnp.concatenate(parts, axis=0) for parts in zip(*outs))
+    )
     return (
-        d1[:b, 0, :],
-        i1[:b, 0, :],
-        d2[:b, :, 0],
-        i2[:b, :, 0],
+        d1[:, 0, :],
+        i1[:, 0, :],
+        d2[:, :, 0],
+        i2[:, :, 0],
     )
