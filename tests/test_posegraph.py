@@ -190,3 +190,65 @@ def test_refined_stitch_beats_reference_for_every_chunk_count(real_seq):
         assert np.abs(res.orientation_errors[finite]).mean() < 1e-4
         rmses[c] = res.rmse_position
     assert all(r <= 0.15 for r in rmses.values()), rmses
+
+
+def test_chunk0_bootstrap_hard_error(rng):
+    """num_chunks > 1 enforces the serial path's <8-correspondence abort
+    for chunk 0's bootstrap pair (epipolar_utils.cpp:104-108)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from visual_odometry_tpu.models import pipeline as pl
+    from visual_odometry_tpu.parallel import posegraph
+    from visual_odometry_tpu.utils import synthetic
+    from visual_odometry_tpu.utils.config import VOConfig
+
+    n_slots, frames = 32, 12
+    pts, apps, masks = synthetic.generate_tracking_sequence(rng, frames, n_slots)
+    # Frame 0 shares no appearance keys with any other frame -> 0 matches.
+    apps = apps.copy()
+    apps[0] = synthetic.generate_appearances(np.random.default_rng(999), n_slots)
+    cfg = VOConfig(n_slots=n_slots, map_capacity=64, gn_iterations=5)
+    with pytest.raises(pl.BootstrapError):
+        posegraph.run_sequence_chunked(
+            synthetic.default_camera(), cfg,
+            jnp.asarray(pts), jnp.asarray(apps), jnp.asarray(masks),
+            num_chunks=2, overlap=4, slack=0,
+        )
+
+
+def test_unobservable_stitch_scale_raises(rng):
+    """A boundary whose overlap yields zero scale observations (no matches
+    after the bootstrap pair: every triangulation invalid, every tracked
+    pose exactly identity) raises StitchError instead of silently
+    stitching with an arbitrary scale."""
+    import warnings
+
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+
+    from visual_odometry_tpu.parallel import posegraph
+    from visual_odometry_tpu.utils import synthetic
+    from visual_odometry_tpu.utils.config import VOConfig
+
+    n_slots, frames = 32, 12
+    pts, apps, masks = synthetic.generate_tracking_sequence(rng, frames, n_slots)
+    # Frames 0/1 share keys (chunk 0 bootstraps fine); every later frame
+    # gets unique keys, so tracking finds zero correspondences anywhere:
+    # no shared triangulations in any overlap and identity tracked poses.
+    apps = apps.copy()
+    for f in range(2, frames):
+        apps[f] = synthetic.generate_appearances(
+            np.random.default_rng(500 + f), n_slots
+        )
+    cfg = VOConfig(n_slots=n_slots, map_capacity=64, gn_iterations=5)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with pytest.raises(posegraph.StitchError):
+            posegraph.run_sequence_chunked(
+                synthetic.default_camera(), cfg,
+                jnp.asarray(pts), jnp.asarray(apps), jnp.asarray(masks),
+                num_chunks=2, overlap=4, slack=0,
+            )

@@ -56,6 +56,20 @@ _EPS = 1e-8
 # overlap's largest norm carry no usable scale information (pure-rotation /
 # stationary frames: the norms are solver noise, their ratio is garbage).
 _MOTION_FRACTION = 0.2
+# Absolute translation-norm floor for a pose to count as "moving" in the
+# scale-ratio fallback: converged-GN noise on stationary frames is ~1e-7,
+# real per-frame baselines are >= 1e-2 at any sane monocular scale.
+_MIN_MOTION = 1e-4
+
+
+class StitchError(RuntimeError):
+    """A chunk boundary's monocular stitch scale is unobservable.
+
+    Raised when a boundary's overlap yields zero usable scale samples —
+    neither shared valid triangulations nor moving poses — so the median
+    ratio (and every downstream chunk's gauge) would be arbitrary. The
+    chunked analogue of the serial bootstrap's hard failure
+    (pipeline.BootstrapError / epipolar_utils.cpp:104-108)."""
 
 
 class PoseGraphDiagnostics(NamedTuple):
@@ -241,8 +255,14 @@ def _track_and_stitch(
         # Pose-ratio fallback: stationary overlap frames carry no scale
         # information — their norms are solver noise, so gate RELATIVE to
         # the overlap's real motion, not with an absolute epsilon.
-        pok = (na > _MOTION_FRACTION * jnp.max(na)) & (
-            nb > _MOTION_FRACTION * jnp.max(nb)
+        # Absolute floor on top of the relative gate: on a fully stationary
+        # overlap max(na) is pure solver noise (~1e-7) and the relative
+        # gate alone would pass noise samples; filtering them lets
+        # num_ratio_obs honestly report 0 so run_sequence_chunked can
+        # raise StitchError instead of stitching with a noise ratio.
+        pok = (
+            (na > jnp.maximum(_MOTION_FRACTION * jnp.max(na), _MIN_MOTION))
+            & (nb > jnp.maximum(_MOTION_FRACTION * jnp.max(nb), _MIN_MOTION))
         )
         p_ratio, p_cnt = _masked_median(na / jnp.maximum(nb, _EPS), pok)
 
@@ -465,6 +485,21 @@ def run_sequence_chunked(
     starts, chunk_len = plan_chunks(f, num_chunks, overlap, scores, slack)
     if ids is None:
         ids = jnp.full(masks.shape, -1, jnp.int32)
+    # Chunk 0's bootstrap anchors the whole trajectory at frame 0: enforce
+    # the same <8-correspondence hard error as the serial path
+    # (epipolar_utils.cpp:104-108) instead of silently anchoring a garbage
+    # 8-point solution. Later chunks' bootstraps only seed their local
+    # tracking and are discarded by the splice (their failure shows up in
+    # the per-boundary diagnostics below).
+    s0 = int(starts[0])
+    pipeline.check_bootstrap(
+        config,
+        pipeline.FrameData(points[s0], appearances[s0], masks[s0], ids[s0]),
+        pipeline.FrameData(
+            points[s0 + 1], appearances[s0 + 1], masks[s0 + 1], ids[s0 + 1]
+        ),
+        use_known_da,
+    )
     cp = _chunk(points, starts, chunk_len)
     ca = _chunk(appearances, starts, chunk_len)
     cm = _chunk(masks, starts, chunk_len)
@@ -475,6 +510,19 @@ def run_sequence_chunked(
     trajectory, final_map, diags = _track_and_stitch(
         camera, config, cp, ca, cm, ci, starts, chunk_len, f, use_known_da
     )
+    # A boundary with ZERO usable scale observations (no shared valid
+    # triangulations AND no moving overlap poses) has an UNDEFINED stitch
+    # scale; the median would silently return an arbitrary value and
+    # corrupt every downstream chunk's gauge — hard error instead.
+    ratio_obs = np.asarray(diags.num_ratio_obs)
+    if ratio_obs.size and (ratio_obs == 0).any():
+        bad = [int(i) for i in np.nonzero(ratio_obs == 0)[0]]
+        raise StitchError(
+            f"chunk boundaries {bad} produced zero scale observations "
+            "(no shared valid triangulations in the overlap and no moving "
+            "overlap poses); the monocular stitch scale is undefined — "
+            "increase chunk_overlap or reduce num_chunks"
+        )
     if refine_iterations > 0:
         trajectory, final_map = refine_stitched(
             camera, config, trajectory, final_map, points, appearances, masks,
