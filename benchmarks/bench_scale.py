@@ -7,9 +7,11 @@ tensors) and longer sequences — on synthetic scenes, verifying the
 static-shape design holds and reporting frames/s per configuration.
 
 One JSON line per (n_slots, frames) point. Measured on the real chip
-(TPU v5e, 2026-08-21): S=256/F=128 -> ~24.3k, S=512/F=256 -> ~19.1k,
-S=1024/F=512 -> ~9.3k frames/s steady state (the (S, S) join/scatter
-work grows as S^2).
+(TPU v5e, 2026-08-21, round 4): S=256/F=128 -> ~35.1k, S=512/F=256 ->
+~32.6k, S=1024/F=512 -> ~20.1k frames/s steady state. (Round 3 measured
+24.3k/19.1k/9.3k — the round-4 kernelization of the join, matcher,
+gathers and map fold removed the S^2 terms; the remaining slope is the
+matcher gram + map-fold sort, both ~linear in S.)
 """
 
 from __future__ import annotations
