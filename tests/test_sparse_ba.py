@@ -241,3 +241,17 @@ def test_build_observations_coo_mask_only_live(rng):
     m = np.asarray(m).reshape(f, s)
     assert m[:, : s // 2].all()
     assert not m[:, s // 2:].any()
+
+
+def test_vo_complete_with_sparse_refinement(tmp_path, reference_data_dir):
+    """End-to-end: refine_backend="sparse" beats the reference baselines on
+    the real dataset like the dense path does (the COO join + Schur-CG
+    path as a drop-in production refinement)."""
+    from visual_odometry_tpu import apps
+    from visual_odometry_tpu.utils.config import VOConfig
+
+    cfg = VOConfig(refine_iterations=10, refine_backend="sparse")
+    apps.run_vo_complete(reference_data_dir, str(tmp_path), cfg, verbose=False)
+    res = apps.run_evaluation(reference_data_dir, str(tmp_path), verbose=False)
+    assert res.rmse_position < 0.145   # reference: 0.1453
+    assert res.rmse_map is not None and res.rmse_map < 0.15  # reference: 0.1841

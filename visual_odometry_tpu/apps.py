@@ -112,7 +112,12 @@ def run_vo_complete(
     if config.refine_iterations > 0:
         from .models import refinement
 
-        trajectory, map_pts, map_apps, _ = refinement.refine_trajectory(
+        refine = (
+            refinement.refine_trajectory_sparse
+            if config.refine_backend == "sparse"
+            else refinement.refine_trajectory
+        )
+        trajectory, map_pts, map_apps, _ = refine(
             params.camera_matrix,
             trajectory,
             map_state,

@@ -106,6 +106,11 @@ class VOConfig:
     # after tracking. 0 disables (reference-parity pipeline).
     refine_iterations: int = 0
     refine_damping: float = 1.0
+    # BA formulation: "dense" builds the (F, L) observation grid (exact
+    # direct Schur solve — right for reference-sized problems), "sparse"
+    # uses the COO + matrix-free Schur-CG path (parallel/sparse_ba) whose
+    # memory is O(#observations) — required beyond ~10^4 landmarks.
+    refine_backend: str = "dense"
 
     # --- numerics ---
     # All device arithmetic is float32, matching the reference's typedefs
