@@ -54,6 +54,7 @@ def main() -> int:
 
     from visual_odometry_tpu.models import pipeline
     from visual_odometry_tpu.ops.camera import Camera
+    from visual_odometry_tpu.utils.timing import sync
     from visual_odometry_tpu.utils import io
     from visual_odometry_tpu.utils.config import DEFAULT_CONFIG
 
@@ -85,7 +86,10 @@ def main() -> int:
             pipeline.run_sequence(camera, DEFAULT_CONFIG, pts, apps_a, mask)[0]
             for _ in range(reps)
         ]
-        jax.block_until_ready(rs)
+        # sync(), not block_until_ready: the tunnel can report readiness
+        # before execution completes (utils/timing.py) — a host fetch of
+        # the last queued result cannot.
+        sync(rs)
         best = min(best, (time.perf_counter() - t0) / reps)
 
     fps = n_frames / best

@@ -7,11 +7,13 @@ tensors) and longer sequences — on synthetic scenes, verifying the
 static-shape design holds and reporting frames/s per configuration.
 
 One JSON line per (n_slots, frames) point. Measured on the real chip
-(TPU v5e, 2026-08-21, round 4): S=256/F=128 -> ~35.1k, S=512/F=256 ->
-~32.6k, S=1024/F=512 -> ~20.1k frames/s steady state. (Round 3 measured
-24.3k/19.1k/9.3k — the round-4 kernelization of the join, matcher,
-gathers and map fold removed the S^2 terms; the remaining slope is the
-matcher gram + map-fold sort, both ~linear in S.)
+(TPU v5e, 2026-08-21, round 4, fetch-forced sync): S=256/F=128 -> ~27.1k,
+S=512/F=256 -> ~33.6k, S=1024/F=512 -> ~18.5k frames/s steady state.
+(Round 3 measured 24.3k/19.1k/9.3k — the round-4 kernelization of the
+join, matcher, gathers and map fold removed the S^2 terms; the remaining
+slope is the matcher gram + map-fold sort, both ~linear in S. The small
+S=256/F=128 program is fixed-cost-bound: its 128 frames amortize the
+bootstrap/merge less than the longer sequences.)
 """
 
 from __future__ import annotations
@@ -66,6 +68,7 @@ def main(small: bool = False) -> None:
 
     import visual_odometry_tpu  # noqa: F401
     from visual_odometry_tpu.models import pipeline
+    from visual_odometry_tpu.utils.timing import sync
     from visual_odometry_tpu.utils import synthetic
     from visual_odometry_tpu.utils.config import VOConfig
 
@@ -86,7 +89,7 @@ def main(small: bool = False) -> None:
             for _ in range(3):
                 t0 = time.perf_counter()
                 rs = [f(pj, aj, mj)[0] for _ in range(reps)]
-                jax.block_until_ready(rs)
+                sync(rs)
                 best = min(best, (time.perf_counter() - t0) / reps)
             print(
                 json.dumps(

@@ -95,7 +95,9 @@ def main(small: bool = False) -> None:
     kj = jnp.asarray(k)
 
     refined, stats = sba.refine_sparse(kj, problem, num_iterations=1)
-    jax.block_until_ready(refined.poses)  # compile + warm
+    from visual_odometry_tpu.utils.timing import sync
+
+    sync(refined.poses)  # compile + warm (real completion)
     chi0 = float(stats.chi)
 
     reps = 2 if small else 5
@@ -103,7 +105,7 @@ def main(small: bool = False) -> None:
     p = problem
     for _ in range(reps):
         p, stats = sba.refine_sparse(kj, p, num_iterations=1)
-    jax.block_until_ready(p.poses)
+    sync(p.poses)
     per_iter = (time.perf_counter() - t0) / reps
     print(
         json.dumps(

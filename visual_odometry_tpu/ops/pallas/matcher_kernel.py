@@ -90,8 +90,8 @@ def best_match_pallas(
     q_mask: Array,      # (Q,) bool
     db: Array,          # (K, D)
     db_mask: Array,     # (K,) bool
-    tq: int = 128,
-    tk: int = 512,
+    tq: int = 0,
+    tk: int = 2048,
     interpret: bool = False,
     precision: str = "highest",
     exact_rescore: bool = False,
@@ -111,6 +111,13 @@ def best_match_pallas(
     """
     q, d_dim = queries.shape
     k = db.shape[0]
+    if tq <= 0:
+        # Whole query set in one tile (up to 1024 rows): the grid is then
+        # K/tk steps total. Small tiles pay the per-step sequencing cost
+        # K/tk * Q/tq times — measured at Q=1024, K=2^20: tq=128/tk=512 ->
+        # 16384 steps, ~20 ms; tq=1024/tk=2048 -> 512 steps, near the
+        # ~8 ms f32-highest MXU floor.
+        tq = min(1024, -(-q // LANE) * LANE)
     q_pad = -(-q // tq) * tq
     k_pad = -(-k // tk) * tk
 
@@ -146,6 +153,11 @@ def best_match_pallas(
             pltpu.VMEM((tq, 1), jnp.float32),
             pltpu.VMEM((tq, 1), jnp.int32),
         ],
+        # The (tq, tk) distance tile exceeds the conservative 16 MB default
+        # scoped-VMEM limit at the large-tile defaults; v5e has 128 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(qp, qn, dbp, dbn)
 

@@ -166,12 +166,16 @@ def _steady_state_s(fn, reps: int = 30, rounds: int = 3) -> float:
     programs; single-shot timing under-reports the chip)."""
     import jax
 
-    jax.block_until_ready(fn())  # compile
+    from .timing import sync
+
+    sync(fn())  # compile + real completion
     best = float("inf")
     for _ in range(rounds):
         t0 = time.perf_counter()
         rs = [fn() for _ in range(reps)]
-        jax.block_until_ready(rs)
+        # sync(), not block_until_ready: the tunnel can report readiness
+        # before execution completes (utils/timing.py).
+        sync(rs)
         best = min(best, (time.perf_counter() - t0) / reps)
     return best
 

@@ -72,7 +72,10 @@ def check_frame_pipeline(interpret: bool = False, seed: int = 1) -> Dict[str, fl
     rng = np.random.default_rng(seed)
     n_slots, frames = 64, 10
     pts, apps, masks = synthetic.generate_tracking_sequence(rng, frames, n_slots)
-    camera = synthetic.default_camera()
+    # deep_camera: with z_far=5 the monocular rescale pushes synthetic
+    # triangulations out of the frustum and tracking degenerates to
+    # zero-inlier no-ops — the equality check must compare REAL work.
+    camera = synthetic.deep_camera()
     base = VOConfig(n_slots=n_slots, map_capacity=128, gn_iterations=30)
     fused_backend = "fused_interpret" if interpret else "fused"
 
@@ -89,7 +92,13 @@ def check_frame_pipeline(interpret: bool = False, seed: int = 1) -> Dict[str, fl
     n_x = int(np.asarray(map_x.valid).sum())
     n_f = int(np.asarray(map_f.valid).sum())
     assert np.isfinite(traj_f).all()
-    assert d_traj < 5e-4, d_traj
+    # The two backends are genuinely different f32 programs (scalar-form
+    # Jacobi-scaled Schur solve vs pivoted LU, fused vs staged arithmetic);
+    # on a REAL tracked trajectory (deep_camera orbit scene — the old
+    # degenerate scene agreed to 5e-4 because both no-op'ed) they agree to
+    # ~7e-4 absolute over 10 frames of O(1) translations. Structure
+    # (landmark count) must match exactly.
+    assert d_traj < 2e-3, d_traj
     assert n_x == n_f, (n_x, n_f)
     return {"frame_traj_diff": d_traj, "map_size": float(n_f)}
 

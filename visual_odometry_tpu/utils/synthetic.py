@@ -58,6 +58,19 @@ def default_camera(world_in_camera=None) -> Camera:
     return Camera.create(k, world_in_camera, rows=480, cols=640, z_near=0, z_far=5)
 
 
+def deep_camera(world_in_camera=None) -> Camera:
+    """The same K with a deep frustum (z_far=100) for TRACKING synthetic
+    sequences end-to-end: the monocular bootstrap normalizes the two-view
+    baseline to ~unit norm, which rescales the map by 1/true_baseline —
+    with small per-frame motion that puts triangulated depths far past
+    the reference camera's z_far=5 and the solver's frustum gate then
+    rejects every point (zero-inlier no-op tracking). The reference
+    dataset's own geometry happens to land inside z_far; generic synthetic
+    scenes do not."""
+    k = np.array([[180.0, 0.0, 320.0], [0.0, 180.0, 240.0], [0.0, 0.0, 1.0]], np.float32)
+    return Camera.create(k, world_in_camera, rows=480, cols=640, z_near=0, z_far=100.0)
+
+
 def generate_tracking_sequence(
     rng: np.random.Generator,
     num_frames: int,
@@ -66,11 +79,17 @@ def generate_tracking_sequence(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """A trackable synthetic sequence: (points (F,S,2), apps (F,S,D), masks).
 
-    A fixed landmark field observed by a camera on a smooth forward+turn
-    path (every consecutive pair has real parallax, so the two-view
-    bootstrap is well conditioned). Appearances are the per-landmark unique
-    keys (utils.cpp:127 semantics). Used by the scaling benchmarks and the
-    multi-device dryruns.
+    A fixed landmark field observed by a camera on a BOUNDED orbit (a
+    circle in front of the field with gentle periodic rotation): every
+    consecutive pair has the same real parallax (~0.03 baseline), the
+    field stays in view for ANY sequence length — the previous unbounded
+    forward+turn path walked out of the scene after ~100 frames, so "long
+    sequence" workloads silently degenerated to empty frames — and no
+    pair is stationary or pure-rotation. Appearances are the per-landmark
+    unique keys (utils.cpp:127 semantics). Used by the scaling benchmarks,
+    the selfchecks and the multi-device dryruns; track with
+    :func:`deep_camera` (see its docstring for why z_far=5 cannot hold a
+    monocularly-rescaled synthetic map).
     """
     import jax.numpy as jnp
 
@@ -87,8 +106,16 @@ def generate_tracking_sequence(
     apps = generate_appearances(rng, n_slots)
     pts, masks = [], []
     for i in range(num_frames):
+        ph = 2.0 * np.pi * i / 64.0
         v = seed_motion * np.float32(
-            [0.05 * i, -0.02 * i, 0.08 * i, 0.005 * i, -0.005 * i, 0.0025 * i]
+            [
+                0.3 * np.cos(ph),
+                0.3 * np.sin(ph),
+                0.1 * np.sin(2.0 * ph),
+                0.02 * np.sin(ph),
+                -0.02 * np.cos(ph),
+                0.01 * np.sin(3.0 * ph),
+            ]
         )
         pose = np.array(se3.v2t_euler(jnp.asarray(v)))
         uv, valid = project_points(default_camera(pose), world)
