@@ -230,3 +230,37 @@ def test_gather_rows_pallas_matches_take_along_axis(rng):
     assert ga.dtype == jnp.int32
     np.testing.assert_array_equal(np.asarray(ga), np.take_along_axis(a, i1, 1))
     np.testing.assert_array_equal(np.asarray(gb), np.take_along_axis(b, i2, 1))
+
+
+def test_take_table_matches_gather(rng):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from visual_odometry_tpu.ops.pallas import gather_kernel
+
+    for r, t, n in ((6, 512, 5000), (3, 100, 257), (8, 1024, 4096)):
+        table = rng.normal(size=(r, t)).astype(np.float32)
+        idx = rng.integers(0, t, n).astype(np.int32)
+        out = gather_kernel.take_table(
+            jnp.asarray(table), jnp.asarray(idx), interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(out), table[:, idx])
+
+
+def test_segment_sum_small_matches_segment_sum(rng):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from visual_odometry_tpu.ops.pallas import segsum_kernel
+
+    n, r, t = 5000, 6, 512
+    vals = rng.normal(size=(n, r)).astype(np.float32)
+    seg = rng.integers(0, t, n).astype(np.int32)
+    # Some dropped (padding) rows.
+    seg[::17] = t
+    out = segsum_kernel.segment_sum_small(
+        jnp.asarray(vals), jnp.asarray(seg), t, interpret=True
+    )
+    ref = jax.ops.segment_sum(jnp.asarray(vals), jnp.asarray(seg), num_segments=t + 1)[:t]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-4)

@@ -255,3 +255,25 @@ def test_vo_complete_with_sparse_refinement(tmp_path, reference_data_dir):
     res = apps.run_evaluation(reference_data_dir, str(tmp_path), verbose=False)
     assert res.rmse_position < 0.145   # reference: 0.1453
     assert res.rmse_map is not None and res.rmse_map < 0.15  # reference: 0.1841
+
+
+def test_packed_refinement_matches_unpacked(rng):
+    """pack=True (fixed-degree lm-major layout, scatter-free LM stages)
+    converges to the same solution as the raw COO path."""
+    cam, _, sparse, *_ = _problems(rng)
+    out_p, _ = sba.refine_sparse(
+        cam.camera_matrix, sparse, num_iterations=8, damping=0.1, pack=True
+    )
+    out_u, _ = sba.refine_sparse(
+        cam.camera_matrix, sparse, num_iterations=8, damping=0.1, pack=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p.poses), np.asarray(out_u.poses), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p.landmarks), np.asarray(out_u.landmarks), atol=1e-3
+    )
+    # The caller's observation layout is preserved.
+    np.testing.assert_array_equal(
+        np.asarray(out_p.frame_idx), np.asarray(sparse.frame_idx)
+    )

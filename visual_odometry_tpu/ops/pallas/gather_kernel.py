@@ -85,3 +85,77 @@ def take_lanes(rows, idx, interpret: bool = False):
         out[:, i].astype(r.dtype) if r.dtype != jnp.float32 else out[:, i]
         for i, r in enumerate(rows)
     )
+
+
+def _table_gather(table: Array, lo: Array, hi: Array) -> Array:
+    """out[r, j] = table[r, 128*hi[r, j] + lo[r, j]].
+
+    Like :func:`_lane_gather` but the source is a SHARED (R, T) table
+    (T <= 1024 lanes) while the output spans arbitrarily many lanes —
+    the per-out-tile inner loop runs over the table's T/128 tiles only.
+    """
+    r, t = table.shape
+    nb = lo.shape[1]
+    if t <= _LANE and nb <= _LANE:
+        return jnp.take_along_axis(table, lo, axis=1)
+    nt = max(1, -(-t // _LANE))
+    outs = []
+    for u in range(nb // _LANE):
+        sl = slice(u * _LANE, (u + 1) * _LANE)
+        lo_u, hi_u = lo[:, sl], hi[:, sl]
+        acc = jnp.zeros((r, _LANE), table.dtype)
+        for ti in range(nt):
+            g = jnp.take_along_axis(
+                table[:, ti * _LANE:(ti + 1) * _LANE], lo_u, axis=1
+            )
+            acc = jnp.where(hi_u == ti, g, acc)
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=1)
+
+
+def _tab_kernel(block, table_ref, idx_ref, out_ref):
+    table = table_ref[...]                    # (8, T) whole table, VMEM
+    idx = idx_ref[...]                        # (8, NB), rows identical
+    t = table.shape[1]
+    # (Indices arrive pre-replicated across the 8 sublanes: an in-kernel
+    # (1, NB) -> (8, NB) broadcast is a Mosaic relayout it rejects.)
+    idx = jnp.clip(idx, 0, t - 1)
+    hi = idx // _LANE
+    lo = idx - hi * _LANE
+    out_ref[...] = _table_gather(table, lo, hi)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def take_table(table: Array, idx: Array, interpret: bool = False) -> Array:
+    """out[r, n] = table[r, idx[n]] for a small shared table.
+
+    table (R, T) f32 with R <= 8, T <= 1024 (e.g. a (6, F) pose-update
+    table in the sparse-BA CG matvec); idx (N,) int32 in [0, T). XLA's
+    general gather runs this on the scalar core at ~10 ns/element; here it
+    is (N/128) * (T/128) single-vreg dynamic gathers on the VPU.
+    """
+    r, t = table.shape
+    assert r <= 8 and t <= 1024, (r, t)
+    n = idx.shape[0]
+    nb = 2048
+    blocks = -(-n // nb)
+    n_pad = blocks * nb
+    tab = jnp.pad(table.astype(jnp.float32), ((0, 8 - r), (0, 0)))
+    idx_p = jnp.broadcast_to(
+        jnp.pad(idx.astype(jnp.int32), (0, n_pad - n)).reshape(blocks, 1, nb),
+        (blocks, 8, nb),
+    )
+    out = pl.pallas_call(
+        functools.partial(_tab_kernel, nb),
+        grid=(blocks,),
+        in_specs=[
+            pl.BlockSpec((8, t), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, 8, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((blocks, 8, nb), jnp.float32),
+        interpret=interpret,
+    )(tab, idx_p)
+    return out.transpose(1, 0, 2).reshape(8, n_pad)[:r, :n]

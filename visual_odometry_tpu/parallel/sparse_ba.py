@@ -60,6 +60,35 @@ from ..ops import se3
 Array = jnp.ndarray
 
 
+def _frame_kernels_ok(f: int) -> bool:
+    """Route frame-space gathers/sums through the Pallas kernels on TPU.
+
+    XLA's scatter/gather serialize on the scalar core (~10 ns/element);
+    at 600k observations the CG matvec spent ~70 ms per application there
+    (4.3 s per LM iteration at 512 poses x 100k landmarks, measured). The
+    kernels need the frame space to fit a VMEM table (F <= 1024)."""
+    return jax.default_backend() == "tpu" and f <= 1024
+
+
+def _gather_frame_rows(v: Array, frame_idx: Array) -> Array:
+    """(F, R) table gathered to (N, R) by frame id."""
+    f = v.shape[0]
+    if _frame_kernels_ok(f):
+        from ..ops.pallas import gather_kernel
+
+        return gather_kernel.take_table(v.T, frame_idx).T
+    return v[frame_idx]
+
+
+def _segsum_frame_rows(vals: Array, frame_idx: Array, f: int) -> Array:
+    """(N, R) rows summed into (F, R) by frame id (id >= f drops the row)."""
+    if _frame_kernels_ok(f) and vals.shape[1] <= 64:
+        from ..ops.pallas import segsum_kernel
+
+        return segsum_kernel.segment_sum_small(vals, frame_idx, f)
+    return jax.ops.segment_sum(vals, frame_idx, num_segments=f + 1)[:f]
+
+
 class SparseBAProblem(NamedTuple):
     """A bundle-adjustment instance over a flat observation list."""
 
@@ -77,8 +106,73 @@ class SparseBAStats(NamedTuple):
     cg_residual: Array  # () final CG relative residual of the pose solve
 
 
+def pack_problem(problem: SparseBAProblem):
+    """Host-side repack into a fixed-degree lm-major layout.
+
+    Returns (packed_problem, degree) with N' = L * degree observation
+    slots, slot l*degree + r holding landmark l's r-th observation (padded
+    slots masked). With this layout the LM-side stages of the Schur-CG
+    matvec — segment-sum by landmark and the gather back — become a
+    reshape-reduce and a broadcast: pure VPU work instead of XLA
+    scatter/gathers that serialize on the TPU scalar core (measured: the
+    un-packed 512x100k problem spent ~4 s per LM iteration there).
+    Returns (problem, None) unchanged when packing would blow up the
+    observation count (a landmark observed in most frames).
+    """
+    li = np.asarray(problem.lm_idx)
+    fi = np.asarray(problem.frame_idx)
+    uv = np.asarray(problem.uv)
+    mask = np.asarray(problem.obs_mask).astype(bool)
+    l = int(problem.landmarks.shape[0])
+    counts = np.bincount(li[mask], minlength=l)
+    degree = max(int(counts.max()) if counts.size else 1, 1)
+    if l * degree > 4 * max(len(li), 1):
+        return problem, None
+    fi2 = np.zeros((l, degree), np.int32)
+    uv2 = np.zeros((l, degree, 2), np.float32)
+    m2 = np.zeros((l, degree), bool)
+    order = np.argsort(li[mask], kind="stable")
+    lm_sorted = li[mask][order]
+    rank = np.arange(len(lm_sorted)) - np.searchsorted(lm_sorted, lm_sorted, side="left")
+    fi2[lm_sorted, rank] = fi[mask][order]
+    uv2[lm_sorted, rank] = uv[mask][order]
+    m2[lm_sorted, rank] = True
+    li2 = np.repeat(np.arange(l, dtype=np.int32), degree)
+    packed = SparseBAProblem(
+        poses=problem.poses,
+        landmarks=problem.landmarks,
+        frame_idx=jnp.asarray(fi2.reshape(-1)),
+        lm_idx=jnp.asarray(li2),
+        uv=jnp.asarray(uv2.reshape(-1, 2)),
+        obs_mask=jnp.asarray(m2.reshape(-1)),
+    )
+    return packed, degree
+
+
+def _segsum_lm(rows: Array, lm_idx: Array, mask: Array, l: int,
+               lm_degree) -> Array:
+    """(N, R) -> (L, R) sums by landmark. In the packed layout this is a
+    reshape-reduce; otherwise an XLA segment scatter (rows are pre-zeroed
+    for masked slots in every call site, so drop semantics are moot)."""
+    if lm_degree is not None:
+        return rows.reshape(l, lm_degree, rows.shape[-1]).sum(axis=1)
+    safe = jnp.where(mask, lm_idx, l)
+    return jax.ops.segment_sum(rows, safe, num_segments=l + 1)[:l]
+
+
+def _gather_lm(values: Array, lm_idx: Array, n: int, lm_degree) -> Array:
+    """(L, ...) per-landmark values -> (N, ...) per-observation. Packed:
+    a broadcast over the degree axis; otherwise an XLA gather."""
+    if lm_degree is not None:
+        l = values.shape[0]
+        return jnp.broadcast_to(
+            values[:, None], (l, lm_degree) + values.shape[1:]
+        ).reshape((n,) + values.shape[1:])
+    return values[lm_idx]
+
+
 def _per_obs_system(camera_matrix, poses, landmarks, frame_idx, lm_idx, uv,
-                    obs_mask, kernel_threshold):
+                    obs_mask, kernel_threshold, lm_degree=None):
     """Residuals, Jacobian rows and robust weights per observation.
 
     Same component expansion as the dense path (bundle_adjustment.py:70-152
@@ -87,13 +181,31 @@ def _per_obs_system(camera_matrix, poses, landmarks, frame_idx, lm_idx, uv,
     """
     safe_f = jnp.where(obs_mask, frame_idx, 0)
     safe_l = jnp.where(obs_mask, lm_idx, 0)
-    rf = poses[safe_f, :3, :3]                  # (N, 3, 3)
-    tf = poses[safe_f, :3, 3]                   # (N, 3)
-    p = landmarks[safe_l]                       # (N, 3)
+    f = poses.shape[0]
+    if _frame_kernels_ok(f):
+        # (N, 12) pose rows via the VMEM-table gather kernel (the XLA
+        # (N, 3, 3) gather serializes on the scalar core).
+        from ..ops.pallas import gather_kernel
+
+        tab = poses[:, :3, :4].reshape(f, 12).T          # (12, F)
+        top = gather_kernel.take_table(tab[:8], safe_f)  # (8, N)
+        bot = gather_kernel.take_table(tab[8:], safe_f)  # (4, N)
+        pr = jnp.concatenate([top, bot], axis=0)         # (12, N)
+        rf_rows = {
+            (i, j): pr[4 * i + j] for i in range(3) for j in range(3)
+        }
+        tf = jnp.stack([pr[3], pr[7], pr[11]], axis=-1)  # (N, 3)
+    else:
+        rf = poses[safe_f, :3, :3]                  # (N, 3, 3)
+        tf = poses[safe_f, :3, 3]                   # (N, 3)
+        rf_rows = None
+    p = _gather_lm(landmarks, safe_l, uv.shape[0], lm_degree)  # (N, 3)
     k = camera_matrix
     wx, wy, wz = p[:, 0], p[:, 1], p[:, 2]
 
     def rr(i, j):
+        if rf_rows is not None:
+            return rf_rows[(i, j)]
         return rf[:, i, j]
 
     px = rr(0, 0) * wx + rr(0, 1) * wy + rr(0, 2) * wz + tf[:, 0]
@@ -230,7 +342,8 @@ class _ReducedSystem(NamedTuple):
 
 
 def _build_reduced(camera_matrix, problem: SparseBAProblem, damping,
-                   kernel_threshold, psum_axis: Optional[str] = None):
+                   kernel_threshold, psum_axis: Optional[str] = None,
+                   lm_degree=None):
     """Assemble the reduced system from the observation list.
 
     With ``psum_axis`` the observation/landmark arrays are one shard and
@@ -242,6 +355,7 @@ def _build_reduced(camera_matrix, problem: SparseBAProblem, damping,
     ex, ey, jpx, jpy, jlx, jly, w, chi = _per_obs_system(
         camera_matrix, problem.poses, problem.landmarks, problem.frame_idx,
         problem.lm_idx, problem.uv, problem.obs_mask, kernel_threshold,
+        lm_degree,
     )
     sw = jnp.sqrt(w)[:, None]
     wrx, wry = jpx * sw, jpy * sw           # (N, 6)
@@ -253,19 +367,21 @@ def _build_reduced(camera_matrix, problem: SparseBAProblem, damping,
     outer_p = (
         wrx[:, :, None] * wrx[:, None, :] + wry[:, :, None] * wry[:, None, :]
     ).reshape(-1, 36)
-    h_pp = jax.ops.segment_sum(outer_p, fi, num_segments=f + 1)[:f].reshape(f, 6, 6)
-    b_p = jax.ops.segment_sum(
+    h_pp = _segsum_frame_rows(outer_p, fi, f).reshape(f, 6, 6)
+    b_p = _segsum_frame_rows(
         wrx * (ex * jnp.sqrt(w))[:, None] + wry * (ey * jnp.sqrt(w))[:, None],
-        fi, num_segments=f + 1,
-    )[:f]
+        fi, f,
+    )
     outer_l = (
         lrx[:, :, None] * lrx[:, None, :] + lry[:, :, None] * lry[:, None, :]
     ).reshape(-1, 9)
-    h_ll = jax.ops.segment_sum(outer_l, li, num_segments=l + 1)[:l].reshape(l, 3, 3)
-    b_l = jax.ops.segment_sum(
+    h_ll = _segsum_lm(
+        outer_l, problem.lm_idx, problem.obs_mask, l, lm_degree
+    ).reshape(l, 3, 3)
+    b_l = _segsum_lm(
         lrx * (ex * jnp.sqrt(w))[:, None] + lry * (ey * jnp.sqrt(w))[:, None],
-        li, num_segments=l + 1,
-    )[:l]
+        problem.lm_idx, problem.obs_mask, l, lm_degree,
+    )
 
     eye3 = jnp.eye(3, dtype=h_ll.dtype)
     h_ll_inv = _inv3x3(h_ll + damping * eye3)
@@ -273,12 +389,18 @@ def _build_reduced(camera_matrix, problem: SparseBAProblem, damping,
 
     # Exact diagonal of S: H_pp + lambda - sum_{n in f} W_n Hll^-1 W_n^T,
     # where W_n = wrx_n (x) lrx_n + wry_n (x) lry_n. O(N).
-    hinv_n = h_ll_inv[jnp.where(problem.obs_mask, problem.lm_idx, 0)]  # (N,3,3)
+    n_obs = problem.uv.shape[0]
+    hinv_n = _gather_lm(
+        h_ll_inv, jnp.where(problem.obs_mask, problem.lm_idx, 0), n_obs,
+        lm_degree,
+    )                                                        # (N, 3, 3)
     w_n = wrx[:, :, None] * lrx[:, None, :] + wry[:, :, None] * lry[:, None, :]
-    y_n = jnp.einsum("nij,njk->nik", w_n, hinv_n)            # (N, 6, 3)
-    diag_corr = jnp.einsum("nik,njk->nij", y_n, w_n).reshape(-1, 36)
-    diag_corr = jax.ops.segment_sum(diag_corr, fi, num_segments=f + 1)[:f]
-    diag_corr = diag_corr.reshape(f, 6, 6)
+    # Broadcast-sum forms of the batched tiny matmuls (loopy on TPU).
+    y_n = (w_n[:, :, None, :] * hinv_n[:, None, :, :]).sum(-1)   # (N, 6, 3)
+    diag_corr = (
+        y_n[:, :, None, :] * w_n[:, None, :, :]
+    ).sum(-1).reshape(-1, 36)
+    diag_corr = _segsum_frame_rows(diag_corr, fi, f).reshape(f, 6, 6)
 
     chi_sum = jnp.sum(chi * w)
     nobs = jnp.sum((w > 0).astype(jnp.int32))
@@ -308,28 +430,31 @@ def _build_reduced(camera_matrix, problem: SparseBAProblem, damping,
 
 
 def _coupling_apply(sys: _ReducedSystem, mask_f: Array, v: Array,
-                    num_lm: int, psum_axis: Optional[str]) -> Array:
+                    num_lm: int, psum_axis: Optional[str],
+                    lm_degree=None) -> Array:
     """(W Hll^-1 W^T) v, matrix-free in O(N).
 
     v is (F, 6) replicated; the return is (F, 6) (psum'ed over the lm axis
     when sharded — each shard holds a disjoint set of landmarks and their
     observations, so the per-shard results sum to the global product).
     """
-    vf = v[sys.frame_idx]                                     # (N, 6)
+    vf = _gather_frame_rows(v, sys.frame_idx)                 # (N, 6)
     # u_n = W_n^T v_f = lrx (wrx . v) + lry (wry . v)  (3,)
     dx_ = jnp.sum(sys.w_rows_x * vf, axis=1) * mask_f
     dy_ = jnp.sum(sys.w_rows_y * vf, axis=1) * mask_f
     u = sys.l_rows_x * dx_[:, None] + sys.l_rows_y * dy_[:, None]  # (N, 3)
-    s_l = jax.ops.segment_sum(u, sys.lm_idx, num_segments=num_lm)  # (L, 3)
-    m_l = jnp.einsum("lij,lj->li", sys.h_ll_inv, s_l)              # (L, 3)
-    mn = m_l[sys.lm_idx]                                           # (N, 3)
+    n = u.shape[0]
+    s_l = _segsum_lm(u, sys.lm_idx, mask_f > 0, num_lm, lm_degree)  # (L, 3)
+    # broadcast-mul + reduce, NOT einsum: a batched (3,3)@(3,) einsum
+    # lowers to loopy per-element code on TPU (cf. bundle_adjustment.py's
+    # identical note) and this runs once per CG iteration.
+    m_l = (sys.h_ll_inv * s_l[:, None, :]).sum(-1)                 # (L, 3)
+    mn = _gather_lm(m_l, sys.lm_idx, n, lm_degree)                 # (N, 3)
     # y_n = W_n m = wrx (lrx . m) + wry (lry . m)  (6,)
     cx = jnp.sum(sys.l_rows_x * mn, axis=1) * mask_f
     cy = jnp.sum(sys.l_rows_y * mn, axis=1) * mask_f
     y = sys.w_rows_x * cx[:, None] + sys.w_rows_y * cy[:, None]    # (N, 6)
-    out = jax.ops.segment_sum(
-        y, sys.frame_idx, num_segments=sys.h_pp_d.shape[0]
-    )
+    out = _segsum_frame_rows(y, sys.frame_idx, sys.h_pp_d.shape[0])
     if psum_axis is not None:
         out = jax.lax.psum(out, psum_axis)
     return out
@@ -342,26 +467,27 @@ def _gauge(v: Array) -> Array:
 
 def _solve_pose_cg(sys: _ReducedSystem, mask_f: Array, num_lm: int,
                    cg_iterations: int, cg_tolerance: float,
-                   psum_axis: Optional[str]) -> Tuple[Array, Array]:
+                   psum_axis: Optional[str],
+                   lm_degree=None) -> Tuple[Array, Array]:
     """Preconditioned CG on S dx = -b_reduced over (F, 6) vectors."""
 
     def s_apply(v):
         v = _gauge(v)
-        hv = jnp.einsum("fij,fj->fi", sys.h_pp_d, v)
-        cv = _coupling_apply(sys, mask_f, v, num_lm, psum_axis)
+        hv = (sys.h_pp_d * v[:, None, :]).sum(-1)
+        cv = _coupling_apply(sys, mask_f, v, num_lm, psum_axis, lm_degree)
         return _gauge(hv - cv)
 
     def m_apply(v):
-        return _gauge(jnp.einsum("fij,fj->fi", sys.precond, v))
+        return _gauge((sys.precond * v[:, None, :]).sum(-1))
 
     # rhs = -(b_p - W Hll^-1 b_l): fold b_l through the coupling path once.
     # Reuse _coupling_apply structure on b_l directly:
-    m_l = jnp.einsum("lij,lj->li", sys.h_ll_inv, sys.b_l)
-    mn = m_l[sys.lm_idx]
+    m_l = (sys.h_ll_inv * sys.b_l[:, None, :]).sum(-1)
+    mn = _gather_lm(m_l, sys.lm_idx, sys.w_rows_x.shape[0], lm_degree)
     cx = jnp.sum(sys.l_rows_x * mn, axis=1) * mask_f
     cy = jnp.sum(sys.l_rows_y * mn, axis=1) * mask_f
     y = sys.w_rows_x * cx[:, None] + sys.w_rows_y * cy[:, None]
-    b_red = jax.ops.segment_sum(y, sys.frame_idx, num_segments=sys.b_p.shape[0])
+    b_red = _segsum_frame_rows(y, sys.frame_idx, sys.b_p.shape[0])
     if psum_axis is not None:
         b_red = jax.lax.psum(b_red, psum_axis)
     rhs = _gauge(-(sys.b_p - b_red))
@@ -411,6 +537,7 @@ def sparse_ba_step(
     cg_iterations: int = 64,
     cg_tolerance: float = 1e-6,
     psum_axis: Optional[str] = None,
+    lm_degree=None,
 ) -> Tuple[SparseBAProblem, SparseBAStats]:
     """One LM/GN step. Memory O(N + F + L); no (F, L) densification.
 
@@ -419,18 +546,19 @@ def sparse_ba_step(
     """
     l = problem.landmarks.shape[0]
     sys, mask_f, chi_sum, nobs = _build_reduced(
-        camera_matrix, problem, damping, kernel_threshold, psum_axis
+        camera_matrix, problem, damping, kernel_threshold, psum_axis,
+        lm_degree,
     )
     dx_p, cg_rel = _solve_pose_cg(
-        sys, mask_f, l, cg_iterations, cg_tolerance, psum_axis
+        sys, mask_f, l, cg_iterations, cg_tolerance, psum_axis, lm_degree
     )
     # Back-substitute landmarks: dx_l = -Hll^-1 (b_l + W^T dx_p), O(N).
-    vf = dx_p[sys.frame_idx]
+    vf = _gather_frame_rows(dx_p, sys.frame_idx)
     dx_ = jnp.sum(sys.w_rows_x * vf, axis=1) * mask_f
     dy_ = jnp.sum(sys.w_rows_y * vf, axis=1) * mask_f
     u = sys.l_rows_x * dx_[:, None] + sys.l_rows_y * dy_[:, None]
-    wt_dx = jax.ops.segment_sum(u, sys.lm_idx, num_segments=l)
-    dx_l = -jnp.einsum("lij,lj->li", sys.h_ll_inv, sys.b_l + wt_dx)
+    wt_dx = _segsum_lm(u, sys.lm_idx, mask_f > 0, l, lm_degree)
+    dx_l = -(sys.h_ll_inv * (sys.b_l + wt_dx)[:, None, :]).sum(-1)
 
     new_poses = se3.v2t_euler(dx_p) @ problem.poses
     new_landmarks = problem.landmarks + dx_l
@@ -439,14 +567,14 @@ def sparse_ba_step(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cg_iterations",)
+    jax.jit, static_argnames=("cg_iterations", "lm_degree")
 )
 def _jitted_step(camera_matrix, problem, damping, kernel_threshold,
-                 cg_iterations, cg_tolerance):
+                 cg_iterations, cg_tolerance, lm_degree=None):
     return sparse_ba_step(
         camera_matrix, problem, damping=damping,
         kernel_threshold=kernel_threshold, cg_iterations=cg_iterations,
-        cg_tolerance=cg_tolerance,
+        cg_tolerance=cg_tolerance, lm_degree=lm_degree,
     )
 
 
@@ -458,21 +586,33 @@ def refine_sparse(
     kernel_threshold: float = 10000.0,
     cg_iterations: int = 64,
     cg_tolerance: float = 1e-6,
+    pack: bool = True,
 ) -> Tuple[SparseBAProblem, SparseBAStats]:
     """Iterative refinement: host loop over one jitted step (same protocol
-    as bundle_adjustment.refine — one compile, reused per iteration)."""
+    as bundle_adjustment.refine — one compile, reused per iteration).
+
+    ``pack=True`` (default) repacks the observations into the fixed-degree
+    lm-major layout first (:func:`pack_problem`) so the LM-side stages run
+    scatter-free; the returned problem keeps the CALLER's observation
+    layout with the refined poses/landmarks swapped in.
+    """
     dmp = jnp.asarray(damping, jnp.float32)
     kt = jnp.asarray(kernel_threshold, jnp.float32)
     tol = jnp.asarray(cg_tolerance, jnp.float32)
+    work, degree = (pack_problem(problem) if pack else (problem, None))
     stats = SparseBAStats(
         chi=jnp.zeros(()), num_obs=jnp.zeros((), jnp.int32),
         cg_residual=jnp.zeros(()),
     )
     for _ in range(num_iterations):
-        problem, stats = _jitted_step(
-            camera_matrix, problem, dmp, kt, int(cg_iterations), tol
+        work, stats = _jitted_step(
+            camera_matrix, work, dmp, kt, int(cg_iterations), tol,
+            lm_degree=degree,
         )
-    return problem, stats
+    return (
+        problem._replace(poses=work.poses, landmarks=work.landmarks),
+        stats,
+    )
 
 
 # --- distribution over the lm mesh axis ----------------------------------
