@@ -79,11 +79,19 @@ def main(small: bool = False) -> None:
         p, a, m = _make_seq(n_slots, frames)
         cfg = VOConfig(n_slots=n_slots, map_capacity=2 * n_slots)
         pj, aj, mj = jax.block_until_ready(jax.device_put((p, a, m)))
+        # validate=False in the measurement loop: the join-overflow guard's
+        # scalar fetch would serialize the queued programs. The warm-up call
+        # below validates the workload once (validate defaults True).
         f = functools.partial(
-            pipeline.run_sequence, synthetic.default_camera(), cfg
+            pipeline.run_sequence, synthetic.default_camera(), cfg,
+            validate=False,
         )
         try:
-            traj = jax.block_until_ready(f(pj, aj, mj)[0])
+            traj = jax.block_until_ready(
+                pipeline.run_sequence(
+                    synthetic.default_camera(), cfg, pj, aj, mj
+                )[0]
+            )
             assert np.isfinite(np.asarray(traj)).all()
             best = float("inf")
             for _ in range(3):

@@ -218,3 +218,122 @@ def test_bootstrap_check_passes_on_real_parallax(rng):
         warnings.simplefilter("error")
         d = pipeline.check_bootstrap(cfg, f0, f1)
     assert float(d.degeneracy_score) > pipeline.DEGENERACY_THRESHOLD
+
+
+def _duplicate_heavy_sequence(rng, n=16, multiplicity=3):
+    """Three frames whose appearance matching yields a world-join target with
+    the given duplicate multiplicity at the first tracked frame.
+
+    Frame 0 carries ``multiplicity`` identical descriptors (slots 0..m-1 =
+    v) and frame 1 carries v exactly once (slot 7), so corr01 maps m source
+    lanes onto target 7; frame 2 carries v once so corr12's reference side
+    looks target 7 up — the adversarial shape for the fused backend's
+    depth-limited first-wins chains (vo_complete.cpp:55-63 semantics).
+    Frame valid-counts are arranged so the kd-side selection creates the
+    duplicates (frame 1 > frame 0 => frame-0 queries; frame 1 >= frame 2
+    => frame-2 queries).
+    """
+    from visual_odometry_tpu.ops import se3
+    from visual_odometry_tpu.ops.camera import project_points
+    from visual_odometry_tpu.utils import synthetic
+
+    d = 10
+    v = np.zeros(d, np.float32)
+    v[0] = 1.0
+
+    def distinct(k):
+        a = np.zeros(d, np.float32)
+        a[1] = 1.0 + k  # >= 1 apart pairwise, >= 1 from v (radius is 0.1)
+        return a
+
+    m = multiplicity
+    apps0 = np.zeros((n, d), np.float32)
+    apps1 = np.zeros((n, d), np.float32)
+    apps2 = np.zeros((n, d), np.float32)
+    apps0[:m] = v
+    for j in range(m, 10):
+        apps0[j] = distinct(j)
+    apps1[7] = v
+    others1 = [j for j in range(12) if j != 7]
+    for k, j in enumerate(others1):
+        apps1[j] = distinct(m + k)  # 11 keys: overlaps frame 0's m..9
+    apps2[0] = v
+    for j in range(1, 11):
+        apps2[j] = distinct(m - 1 + j)
+    masks = np.zeros((3, n), bool)
+    masks[0, :10] = True
+    masks[1, :12] = True
+    masks[2, :11] = True
+
+    # Real geometry so triangulation does genuine work.
+    world = np.stack(
+        [rng.uniform(-1.5, 1.5, n), rng.uniform(-1.2, 1.2, n),
+         rng.uniform(2.0, 4.0, n)], axis=1,
+    ).astype(np.float32)
+    pts = []
+    for i in range(3):
+        pose = np.array(se3.v2t_euler(jnp.float32(
+            [0.2 * i, -0.05 * i, 0.1 * i, 0.01 * i, -0.01 * i, 0.005 * i]
+        )))
+        uv, _ = project_points(synthetic.default_camera(pose), jnp.asarray(world))
+        pts.append(np.asarray(uv))
+    apps = np.stack([apps0, apps1, apps2])
+    return np.stack(pts), apps, masks
+
+
+def test_fused_join_depth_overflow_raises(rng):
+    """A duplicate-target multiplicity above fused_join_depth must HARD
+    ERROR on the fused backend (never silently diverge from the
+    reference's first-wins join, vo_complete.cpp:55-63)."""
+    import pytest
+
+    from visual_odometry_tpu.models import pipeline
+    from visual_odometry_tpu.utils.config import VOConfig
+
+    pts, apps_arr, masks = _duplicate_heavy_sequence(rng, multiplicity=3)
+    cfg = VOConfig(n_slots=16, map_capacity=64, gn_iterations=10,
+                   scan_backend="fused_interpret")
+    with pytest.raises(pipeline.FusedJoinDepthError):
+        pipeline.run_sequence(
+            synthetic_camera(), cfg, jnp.asarray(pts), jnp.asarray(apps_arr),
+            jnp.asarray(masks),
+        )
+    # The scan backend is exact at any multiplicity: same workload, no error.
+    traj, _, outs = pipeline.run_sequence(
+        synthetic_camera(), cfg.replace(scan_backend="xla"),
+        jnp.asarray(pts), jnp.asarray(apps_arr), jnp.asarray(masks),
+    )
+    assert int(np.asarray(outs.join_overflow).sum()) == 0
+
+
+def test_fused_join_depth_raised_restores_exactness(rng):
+    """Raising fused_join_depth to the workload's multiplicity clears the
+    guard and reproduces the scan backend's join decisions."""
+    from visual_odometry_tpu.models import pipeline
+    from visual_odometry_tpu.utils.config import VOConfig
+
+    pts, apps_arr, masks = _duplicate_heavy_sequence(rng, multiplicity=3)
+    cfg = VOConfig(n_slots=16, map_capacity=64, gn_iterations=10,
+                   fused_join_depth=3, scan_backend="fused_interpret")
+    traj_f, map_f, outs_f = pipeline.run_sequence(
+        synthetic_camera(), cfg, jnp.asarray(pts), jnp.asarray(apps_arr),
+        jnp.asarray(masks),
+    )
+    assert int(np.asarray(outs_f.join_overflow).sum()) == 0
+    traj_x, map_x, outs_x = pipeline.run_sequence(
+        synthetic_camera(), cfg.replace(scan_backend="xla"),
+        jnp.asarray(pts), jnp.asarray(apps_arr), jnp.asarray(masks),
+    )
+    assert (
+        np.asarray(outs_f.num_solver_corr) == np.asarray(outs_x.num_solver_corr)
+    ).all()
+    np.testing.assert_allclose(
+        np.asarray(traj_f), np.asarray(traj_x), atol=2e-3
+    )
+    assert int(np.asarray(map_f.valid).sum()) == int(np.asarray(map_x.valid).sum())
+
+
+def synthetic_camera():
+    from visual_odometry_tpu.utils import synthetic
+
+    return synthetic.default_camera()

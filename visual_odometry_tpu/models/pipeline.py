@@ -76,6 +76,12 @@ class FrameOutput(NamedTuple):
     tri_points: Array     # (S, 3) this frame's triangulation, prev-frame coords
     tri_apps: Array       # (S, D) triangulated appearances (landmark keys)
     tri_valid: Array      # (S,) bool
+    join_overflow: Array  # () int32 lanes whose world-join duplicate-target
+    #   multiplicity exceeded fused_join_depth this frame. Always 0 on the
+    #   scan backend (its lookup join is exact at any multiplicity); a
+    #   nonzero count on the fused backend means the depth-limited chain
+    #   can no longer guarantee vo_complete.cpp:55-63 first-wins semantics
+    #   — the product entry points raise FusedJoinDepthError on it.
 
 
 def match_by_ids(
@@ -127,6 +133,45 @@ def _lookup_from_corr(corr: matching.Correspondences, tri_ok: Array, n_slots: in
     safe_tgt = jnp.where(corr.valid & tri_ok, corr.idx2, n_slots)
     lut = jnp.full((n_slots,), big, jnp.int32).at[safe_tgt].min(vals, mode="drop")
     return jnp.where(lut <= n_slots, lut, -1).astype(jnp.int32)
+
+
+class FusedJoinDepthError(RuntimeError):
+    """The fused backend's world-join chain depth was exceeded.
+
+    Raised when a tracked frame has a measurement targeted by more than
+    ``VOConfig.fused_join_depth`` same-frame correspondences
+    (``FrameOutput.join_overflow`` > 0): beyond that multiplicity the
+    precomputed candidate chains (ops/pallas/frame_kernel.join_candidates)
+    can no longer guarantee the reference's first-successfully-triangulated
+    join semantics (vo_complete.cpp:55-63). Fix: raise
+    ``VOConfig.fused_join_depth`` to at least the reported multiplicity
+    bound (restores exactness at ~4 extra gather rows per level) or run
+    ``scan_backend="xla"`` (exact at any multiplicity)."""
+
+
+def check_join_overflow(outs: FrameOutput) -> None:
+    """Host-side guard: raise :class:`FusedJoinDepthError` if any tracked
+    frame overflowed the fused world-join chain depth.
+
+    Costs one scalar fetch (forces completion of the tracking program);
+    throughput harnesses that queue many programs back-to-back can defer it
+    (``validate=False`` on the sequence runners) after checking the
+    workload once.
+    """
+    import numpy as np
+
+    total = int(np.asarray(jnp.sum(outs.join_overflow)))
+    if total:
+        per_frame = np.asarray(outs.join_overflow).reshape(-1)
+        worst = int(per_frame.max())
+        frames = np.nonzero(per_frame)[0][:8].tolist()
+        raise FusedJoinDepthError(
+            f"{total} correspondence lanes across frames {frames}... exceeded "
+            f"the fused world-join chain depth (worst frame: {worst} lanes); "
+            "first-wins join semantics (vo_complete.cpp:55-63) are not "
+            "guaranteed past it. Raise VOConfig.fused_join_depth or use "
+            "scan_backend='xla'."
+        )
 
 
 class BootstrapError(RuntimeError):
@@ -392,6 +437,7 @@ def frame_step(
         tri_points=tri,
         tri_apps=tri_apps,
         tri_valid=ok,
+        join_overflow=jnp.zeros((), jnp.int32),
     )
     return new_state, out
 
@@ -561,6 +607,7 @@ def _track(
             tri_points=tri_all,
             tri_apps=tri_apps_all,
             tri_valid=tri_ok_all,
+            join_overflow=jnp.sum(cand.overflow.astype(jnp.int32), axis=1),
         )
     else:
 
@@ -622,15 +669,24 @@ def run_sequence(
     points: Array,        # (F, S, 2)
     appearances: Array,   # (F, S, D)
     masks: Array,         # (F, S) bool
+    validate: bool = True,
 ) -> Tuple[Array, LandmarkMap, FrameOutput]:
     """Full vo_complete pipeline over a stacked sequence, in one jit.
 
     Returns (trajectory (F, 4, 4) of relative poses — entry 0 identity,
     entry 1 the epipolar init, then one PICP pose per frame — the final
     map in frame-0 camera coords, and per-frame diagnostics).
+
+    ``validate`` runs :func:`check_join_overflow` on the result (fused
+    backend join-exactness guard — a scalar fetch, so it forces
+    completion); pass False only from throughput harnesses that queue many
+    programs asynchronously AND have validated the workload once.
     """
     ids = jnp.full(masks.shape, -1, jnp.int32)
-    return _run(camera, config, points, appearances, masks, ids, False)
+    out = _run(camera, config, points, appearances, masks, ids, False)
+    if validate:
+        check_join_overflow(out[2])
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("config", "use_known_da"))
@@ -726,6 +782,10 @@ def run_sequence_known_da(
     appearances: Array,
     masks: Array,
     ids: Array,
+    validate: bool = True,
 ) -> Tuple[Array, LandmarkMap, FrameOutput]:
     """vo_daKnown pipeline: data association by ground-truth landmark id."""
-    return _run(camera, config, points, appearances, masks, jnp.asarray(ids), True)
+    out = _run(camera, config, points, appearances, masks, jnp.asarray(ids), True)
+    if validate:
+        check_join_overflow(out[2])
+    return out

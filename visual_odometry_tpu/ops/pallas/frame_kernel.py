@@ -46,7 +46,13 @@ the number of duplicate-target correspondences whose first ``depth``
 candidates ALL failed triangulation is zero — guaranteed when ``depth``
 >= the per-frame maximum match multiplicity (measured 1 on example_data:
 the kd side is a best-match target, collisions are rare; the default
-depth of 2 covers every observed workload with one spare level).
+depth of 2 covers every observed workload with one spare level). This is
+NOT assumed silently: :func:`join_candidates` computes one extra chain
+level and flags every lane whose multiplicity exceeds ``depth``
+(``JoinCandidates.overflow``); the pipeline surfaces the per-frame count
+as ``FrameOutput.join_overflow`` and the product entry points hard-error
+on a nonzero count (pipeline.FusedJoinDepthError) with the fix spelled
+out (raise ``fused_join_depth`` or use ``scan_backend="xla"``).
 """
 
 from __future__ import annotations
@@ -74,11 +80,17 @@ class JoinCandidates(NamedTuple):
     ``lo``/``hi`` split each candidate lane index into (index % 128,
     index // 128) — the form Mosaic's single-vreg dynamic gather consumes —
     and ``ok`` marks existing candidates (target lane valid AND a d-th
-    source match exists)."""
+    source match exists). ``overflow`` marks lanes whose duplicate-target
+    multiplicity EXCEEDS the chain depth (a depth+1-th candidate exists):
+    on such lanes the depth-limited chain can no longer guarantee the
+    reference's first-successfully-triangulated join semantics
+    (vo_complete.cpp:55-63), so callers must hard-error or re-route
+    (pipeline.FusedJoinDepthError)."""
 
-    lo: Array  # (F, D, S) int32 candidate lane % 128 (0 where absent)
-    hi: Array  # (F, D, S) int32 candidate lane // 128
-    ok: Array  # (F, D, S) bool candidate exists
+    lo: Array        # (F, D, S) int32 candidate lane % 128 (0 where absent)
+    hi: Array        # (F, D, S) int32 candidate lane // 128
+    ok: Array        # (F, D, S) bool candidate exists
+    overflow: Array  # (F, S) bool multiplicity > D on this lane
 
 
 def _cand_kernel(block, depth, src_ref, dst_ref, out_ref):
@@ -139,8 +151,14 @@ def join_candidates(
     XLA's serialized scalar-core gathers (~5.3 ms each) before they were
     kernelized — quadratic-but-VPU-resident beats O(S log S)-with-bad-
     constants by an order of magnitude here.
+
+    The kernel computes depth+1 levels; the extra level is returned as the
+    ``overflow`` flag (multiplicity > depth on that lane — the condition
+    under which the depth-limited chain may diverge from the reference's
+    first-wins semantics). One extra min-reduction per frame, no gathers.
     """
     f, s = src_idx2.shape
+    de = depth + 1  # extra level only feeds the overflow diagnostic
     src = jnp.stack(
         [src_idx2.astype(jnp.int32), src_valid.astype(jnp.int32)], axis=-1
     )                                                      # (F, S, 2)
@@ -149,23 +167,23 @@ def join_candidates(
     )                                                      # (F, 2, S)
     # Block size: a couple of live (S, S) i32 transients per frame plus
     # ~2 MB of in/out blocks.
-    fb = max(1, min(f, (2 * 1024 * 1024) // max(1, (4 + 3 * depth) * s * 4)))
+    fb = max(1, min(f, (2 * 1024 * 1024) // max(1, (4 + 3 * de) * s * 4)))
     nb = -(-f // fb)
     f_pad = nb * fb
     if f_pad != f:
         src = jnp.pad(src, ((0, f_pad - f), (0, 0), (0, 0)))
         dst = jnp.pad(dst, ((0, f_pad - f), (0, 0), (0, 0)))
     out = pl.pallas_call(
-        functools.partial(_cand_kernel, fb, depth),
+        functools.partial(_cand_kernel, fb, de),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((fb, s, 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((fb, 2, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (fb, 3 * depth, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (fb, 3 * de, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((f_pad, 3 * depth, s), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((f_pad, 3 * de, s), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -173,8 +191,9 @@ def join_candidates(
     )(src, dst)[:f]
     return JoinCandidates(
         lo=out[:, 0:depth],
-        hi=out[:, depth:2 * depth],
-        ok=out[:, 2 * depth:] > 0,
+        hi=out[:, de:de + depth],
+        ok=out[:, 2 * de:2 * de + depth] > 0,
+        overflow=out[:, 3 * de - 1] > 0,
     )
 
 

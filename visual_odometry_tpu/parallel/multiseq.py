@@ -44,11 +44,16 @@ def run_sequences_batched(
     masks: Array,         # (B, F, S)
     mesh: Optional[Mesh] = None,
     dp_axis: str = "dp",
+    validate: bool = True,
 ) -> Tuple[Array, LandmarkMap, pipeline.FrameOutput]:
     """Track B sequences at once; returns batched (trajectories, maps, outs).
 
     With ``mesh`` the batch axis is sharded over ``dp_axis`` (B must divide
     the axis size); without, the batch is vmapped on the current device.
+    ``validate`` runs the fused world-join exactness guard on the result
+    (pipeline.check_join_overflow — a scalar fetch); throughput harnesses
+    that queue batches asynchronously can defer it after checking the
+    workload once.
     """
     ids = jnp.full(masks.shape, -1, jnp.int32)
     if mesh is not None:
@@ -57,4 +62,7 @@ def run_sequences_batched(
         appearances = jax.device_put(appearances, spec)
         masks = jax.device_put(masks, spec)
         ids = jax.device_put(ids, spec)
-    return _run_batch(camera, config, points, appearances, masks, ids)
+    out = _run_batch(camera, config, points, appearances, masks, ids)
+    if validate:
+        pipeline.check_join_overflow(out[2])
+    return out

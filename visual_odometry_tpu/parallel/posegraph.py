@@ -76,6 +76,9 @@ class PoseGraphDiagnostics(NamedTuple):
     scales: Array           # (C,) cumulative per-chunk scale (chunk 0 = 1)
     rot_consistency: Array  # (C-1,) mean trace(I - Ra^T Rb) over each overlap
     num_ratio_obs: Array    # (C-1,) int32 usable ratio samples per boundary
+    join_overflow: Array    # () int32 total fused world-join depth overflows
+    #   across all chunks/frames (pipeline.FrameOutput.join_overflow summed;
+    #   0 on the scan backend). run_sequence_chunked hard-errors on nonzero.
 
 
 def plan_chunks(
@@ -333,17 +336,20 @@ def _track_and_stitch(
         config.map_capacity,
     )
 
+    join_ovf = jnp.sum(outs_c.join_overflow)
     if c > 1:
         diags = PoseGraphDiagnostics(
             scales=jnp.stack(scales),
             rot_consistency=jnp.stack(rot_errs),
             num_ratio_obs=jnp.stack(counts),
+            join_overflow=join_ovf,
         )
     else:
         diags = PoseGraphDiagnostics(
             scales=jnp.ones((1,), cpoints.dtype),
             rot_consistency=jnp.zeros((0,), cpoints.dtype),
             num_ratio_obs=jnp.zeros((0,), jnp.int32),
+            join_overflow=join_ovf,
         )
     return trajectory, final_map, diags
 
@@ -381,16 +387,27 @@ def refine_stitched(
     0.1407 after 5 iterations (serial tracking: 0.141, reference baseline
     0.1453 — evaluate.cpp:43-53 metric).
 
-    Reuses the landmark-sharded Schur-complement BA stage
-    (parallel/bundle_adjustment via models/refinement); with ``mesh`` the
-    reduction runs sharded over its ``lm`` axis.
+    Honors ``config.refine_backend`` exactly like the serial path
+    (apps.run_vo_complete): "dense" builds the (F, L) observation grid and
+    runs the direct-Schur BA (parallel/bundle_adjustment), "sparse" the COO
+    matrix-free Schur-CG path (parallel/sparse_ba) — required for
+    large-map chunked runs. With ``mesh`` the reduction runs sharded over
+    its ``lm`` axis; a sequence-parallel mesh without an ``lm`` axis (the
+    documented ('dp',)-only SP mesh) refines single-device instead of
+    raising a KeyError inside the sharded BA step.
     """
     import numpy as np_mod
 
     from ..models import landmark_map as lm_mod
     from ..models import refinement
 
-    rel, map_pts, map_apps, _ = refinement.refine_trajectory(
+    refine_fn = (
+        refinement.refine_trajectory_sparse
+        if config.refine_backend == "sparse"
+        else refinement.refine_trajectory
+    )
+    ba_mesh = mesh if mesh is not None and "lm" in mesh.axis_names else None
+    rel, map_pts, map_apps, _ = refine_fn(
         np_mod.asarray(camera.camera_matrix),
         np_mod.asarray(trajectory),
         map_state,
@@ -400,7 +417,7 @@ def refine_stitched(
         num_iterations=num_iterations,
         damping=config.refine_damping,
         kernel_threshold=config.kernel_threshold,
-        mesh=mesh,
+        mesh=ba_mesh,
     )
     cap = config.map_capacity
     l = len(map_pts)
@@ -450,14 +467,16 @@ def run_sequence_chunked(
     if num_chunks == 1:
         # Exact serial parity (and identical numerics: no vmap axis).
         id_arr = jnp.full(masks.shape, -1, jnp.int32) if ids is None else ids
-        trajectory, final_map, _ = pipeline._run(
+        trajectory, final_map, outs = pipeline._run(
             camera, config, points, appearances, masks, id_arr, use_known_da
         )
         diags = PoseGraphDiagnostics(
             scales=jnp.ones((1,), points.dtype),
             rot_consistency=jnp.zeros((0,), points.dtype),
             num_ratio_obs=jnp.zeros((0,), jnp.int32),
+            join_overflow=jnp.sum(outs.join_overflow),
         )
+        pipeline.check_join_overflow(outs)
         if refine_iterations > 0:
             trajectory, final_map = refine_stitched(
                 camera, config, trajectory, final_map, points, appearances,
@@ -514,6 +533,13 @@ def run_sequence_chunked(
     # triangulations AND no moving overlap poses) has an UNDEFINED stitch
     # scale; the median would silently return an arbitrary value and
     # corrupt every downstream chunk's gauge — hard error instead.
+    # Fused world-join exactness guard (pipeline.FusedJoinDepthError).
+    if int(np.asarray(diags.join_overflow)):
+        raise pipeline.FusedJoinDepthError(
+            f"{int(np.asarray(diags.join_overflow))} correspondence lanes "
+            "exceeded the fused world-join chain depth across the chunks; "
+            "raise VOConfig.fused_join_depth or use scan_backend='xla'."
+        )
     ratio_obs = np.asarray(diags.num_ratio_obs)
     if ratio_obs.size and (ratio_obs == 0).any():
         bad = [int(i) for i in np.nonzero(ratio_obs == 0)[0]]

@@ -132,7 +132,11 @@ class VOConfig:
     # whenever no measurement is the target of more than this many same-
     # frame correspondences whose earlier candidates ALL failed
     # triangulation; measured multiplicity on example_data is 1, so 2
-    # carries a spare level. Raise only for pathological matchers.
+    # carries a spare level. NOT a silent assumption: the chain builder
+    # flags lanes whose multiplicity exceeds the depth
+    # (FrameOutput.join_overflow) and the sequence runners hard-error on
+    # them (pipeline.FusedJoinDepthError) — raise this knob to the
+    # reported bound to restore exactness, or use scan_backend="xla".
     fused_join_depth: int = 2
 
     def replace(self, **kw) -> "VOConfig":

@@ -261,6 +261,7 @@ def measure(seed: int = 0) -> Dict[str, float]:
         lo=jnp.broadcast_to(idx % 128, (frames, depth, s)),
         hi=jnp.broadcast_to(idx // 128, (frames, depth, s)),
         ok=jnp.broadcast_to(ok, (frames, depth, s)),
+        overflow=jnp.zeros((frames, s), bool),
     )
     pix = jnp.broadcast_to(jnp.asarray(uv), (frames, s, 2))
     cvalid = jnp.broadcast_to(ok, (frames, s))

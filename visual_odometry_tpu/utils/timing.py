@@ -18,14 +18,23 @@ import numpy as np
 
 def sync(tree):
     """Force REAL completion of ``tree``'s computation: fetch one scalar
-    of its last leaf to the host. Device launches execute in order, so
-    fetching from the last queued program completes everything queued
-    before it; the fetched payload is 4 bytes regardless of output size
-    (the scalar slice runs on device)."""
+    of its last leaf to the host. Device launches execute in order *per
+    device*, so for sharded outputs one scalar is fetched from EVERY
+    addressable shard — a single-leaf-slice fetch would synchronize only
+    one device and under-report multi-device wall time. The fetched
+    payload is 4 bytes per device regardless of output size (the scalar
+    slice runs on device)."""
     leaves = jax.tree_util.tree_leaves(tree)
     if leaves:
         leaf = leaves[-1]
-        if getattr(leaf, "ndim", 0):
-            leaf = leaf.reshape(-1)[0]
-        np.asarray(leaf)
+        shards = getattr(leaf, "addressable_shards", None)
+        if shards is not None and len(shards) > 1:
+            for sh in shards:
+                data = sh.data
+                if getattr(data, "size", 1):
+                    np.asarray(data.reshape(-1)[0])
+        else:
+            if getattr(leaf, "ndim", 0):
+                leaf = leaf.reshape(-1)[0]
+            np.asarray(leaf)
     return tree
