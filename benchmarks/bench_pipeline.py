@@ -1,7 +1,16 @@
-"""Pipeline throughput: single sequence and batched multi-sequence.
+"""Pipeline throughput: single sequence and batched multi-sequence serving.
 
-Prints one JSON line per measurement:
-  {"metric": "...", "value": ..., "unit": "frames/s", ...}
+The flagship tracking program is latency-bound by design (one sequence's
+frame loop is serial; BENCH_r04 measured it at ~3% of roofline), so the
+chip-filling axis is BATCH parallelism over independent sequences
+(parallel/multiseq): the fused frame kernel's custom_vmap folds the batch
+into its grid (ops/pallas/frame_kernel._fused_fn), every other stage
+batches its tensors, and throughput scales until the VPU/MXU saturate.
+This bench sweeps the batch size and reports frames/s per point plus the
+serving utilization against utils/roofline.pipeline_floor_s (the additive
+per-stage speed-of-light of B independent sequences).
+
+Prints one JSON line per measurement.
 """
 
 from __future__ import annotations
@@ -12,36 +21,40 @@ import time
 
 import numpy as np
 
-import sys as _sys, os as _os
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import _path  # noqa: F401  (repo-root import shim)
 
 
 def main(small: bool = False) -> None:
+    import jax
     import jax.numpy as jnp
 
     import visual_odometry_tpu  # noqa: F401
     from visual_odometry_tpu import apps
     from visual_odometry_tpu.ops.camera import Camera
     from visual_odometry_tpu.parallel import multiseq
-    from visual_odometry_tpu.utils import io
+    from visual_odometry_tpu.utils import io, roofline
     from visual_odometry_tpu.utils.config import VOConfig
+    from visual_odometry_tpu.utils.timing import sync
 
     data = "/root/reference/example_data/data"
-    reps = 3 if small else 6
+    reps = 3 if small else 10
 
-    # Single sequence (the bench.py headline).
+    # Single sequence (the bench.py headline protocol's app form).
     apps.run_vo_complete(data, "/tmp/vo_bench_out", verbose=False)
     best = min(
         apps.run_vo_complete(data, "/tmp/vo_bench_out", verbose=False)[3]
         for _ in range(reps)
     )
+    single_fps = 121 / best
     print(json.dumps({
         "metric": "pipeline_single_sequence",
-        "value": round(121 / best, 1),
+        "value": round(single_fps, 1),
         "unit": "frames/s",
     }))
 
-    # Batched.
+    # Batched serving sweep: B identical-shape sequences in flight; the
+    # queue-depth protocol of bench.py (several batched programs queued,
+    # sync once) so per-call tunnel latency overlaps.
     params = io.load_camera_params(f"{data}/camera.dat")
     camera = Camera.create(
         params.camera_matrix, rows=params.height, cols=params.width,
@@ -49,22 +62,59 @@ def main(small: bool = False) -> None:
     )
     seq = io.load_sequence(data, 128)
     cfg = VOConfig()
-    for b in ([2] if small else [4, 16]):
-        pts = jnp.asarray(np.tile(seq.points[None], (b, 1, 1, 1)))
+    f_total = int(seq.mask.shape[0])
+    floor1 = roofline.pipeline_floor_s(f_total, 128)
+    best_row = None
+    for b in ([2] if small else [4, 16, 32, 64]):
+        # Distinct per-sequence noise so no cross-sequence redundancy can
+        # be exploited (it isn't, but the measurement shouldn't rely on it).
+        rng = np.random.default_rng(b)
+        pts = np.tile(seq.points[None], (b, 1, 1, 1))
+        pts = pts + rng.uniform(-0.5, 0.5, (b, 1, 1, 2)).astype(np.float32)
+        pts_j = jnp.asarray(pts)
         apps_a = jnp.asarray(np.tile(seq.appearances[None], (b, 1, 1, 1)))
         m = jnp.asarray(np.tile(seq.mask[None], (b, 1, 1)))
-        tr, _, _ = multiseq.run_sequences_batched(camera, cfg, pts, apps_a, m)
-        np.asarray(tr)
-        best = 1e9
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            tr, _, _ = multiseq.run_sequences_batched(camera, cfg, pts, apps_a, m)
-            np.asarray(tr)
-            best = min(best, time.perf_counter() - t0)
+        try:
+            call = lambda: multiseq.run_sequences_batched(  # noqa: E731
+                camera, cfg, pts_j, apps_a, m, validate=False
+            )[0]
+            tr = multiseq.run_sequences_batched(camera, cfg, pts_j, apps_a, m)[0]
+            sync(tr)  # compile + warm + validated once
+            queue = max(1, (8 if small else 20) // max(1, b // 8))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                rs = [call() for _ in range(queue)]
+                sync(rs)
+                best = min(best, (time.perf_counter() - t0) / queue)
+            fps = b * f_total / best
+            row = {
+                "metric": f"pipeline_batched_b{b}",
+                "value": round(fps, 1),
+                "unit": "frames/s",
+                "ms": round(best * 1e3, 2),
+                "scaling_vs_single": round(fps / single_fps, 2),
+                # Lower bound on utilization: B x the single-sequence
+                # additive stage floor over the measured wall time.
+                "serving_roofline_fraction": round(b * floor1 / best, 4),
+            }
+            print(json.dumps(row))
+            if best_row is None or fps > best_row["value"]:
+                best_row = {**row, "batch": b}
+        except Exception as e:  # report, keep sweeping
+            print(json.dumps({
+                "metric": f"pipeline_batched_b{b}",
+                "value": 0,
+                "unit": "frames/s",
+                "error": str(e)[:200],
+            }))
+    if best_row is not None:
         print(json.dumps({
-            "metric": f"pipeline_batched_b{b}",
-            "value": round(b * 121 / best, 1),
+            "metric": "pipeline_serving_best",
+            "value": best_row["value"],
             "unit": "frames/s",
+            "batch": best_row["batch"],
+            "serving_roofline_fraction": best_row["serving_roofline_fraction"],
         }))
 
 

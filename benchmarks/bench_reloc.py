@@ -67,8 +67,15 @@ def measure_one(cap: int, backend: str, reps: int) -> None:
         ids=jnp.full((s,), -1, jnp.int32),
     )
     x0 = jnp.eye(4, dtype=jnp.float32)
+    # "pallas_fast" = the streaming kernel with the bf16-select +
+    # exact-f32-rescore mode (config.matcher_precision="fast"): one MXU
+    # pass instead of six, radius decisions still exact.
+    fast = backend == "pallas_fast"
     cfg = VOConfig(
-        n_slots=s, map_capacity=cap, matcher_backend=backend, gn_iterations=30
+        n_slots=s, map_capacity=cap,
+        matcher_backend="pallas" if fast else backend,
+        matcher_precision="fast" if fast else "highest",
+        gn_iterations=30,
     )
     fn = lambda: pipeline.relocalize_frame(  # noqa: E731
         camera, cfg, map_state, frame, x0
@@ -83,7 +90,8 @@ def measure_one(cap: int, backend: str, reps: int) -> None:
         sync(rs)
         best = min(best, (time.perf_counter() - t0) / reps)
 
-    floor = roofline.matcher_model(s, cap).speed_of_light_s(roofline.V5E)
+    chip = roofline.V5E_BF16 if fast else roofline.V5E
+    floor = roofline.matcher_model(s, cap).speed_of_light_s(chip)
     row = {
         "metric": f"reloc_cap{cap}_{backend}",
         "value": round(1.0 / best, 1),
@@ -101,7 +109,7 @@ def main(small: bool = False) -> None:
     reps = 5 if small else 20
     here = os.path.abspath(__file__)
     for cap in caps:
-        for backend in ("xla", "pallas"):
+        for backend in ("xla", "pallas", "pallas_fast"):
             subprocess.run(
                 [sys.executable, here, "--one", str(cap), backend, str(reps)],
                 check=True,

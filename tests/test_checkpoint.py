@@ -75,3 +75,61 @@ def test_split_equals_oneshot(loaded, tmp_path):
     np.testing.assert_allclose(
         np.asarray(traj_full)[:, :3, 3], full_split[:, :3, 3], atol=5e-3
     )
+
+
+def test_split_equals_oneshot_fused(loaded):
+    """The fused resume path (continue_sequence on the one-kernel-launch
+    backend) must match: split == one-shot bit-for-bit on the fused
+    backend, and agree with the scan backend within the documented
+    cross-backend f32 tolerance — including the carried map."""
+    camera, seq = loaded
+    cfg = VOConfig(gn_iterations=20, scan_backend="fused_interpret")
+    pts = jnp.asarray(seq.points[:30])
+    apps_ = jnp.asarray(seq.appearances[:30])
+    m = jnp.asarray(seq.mask[:30])
+    ids = jnp.asarray(seq.ids[:30])
+
+    f0 = pipeline.FrameData(pts[0], apps_[0], m[0], ids[0])
+    f1 = pipeline.FrameData(pts[1], apps_[1], m[1], ids[1])
+    state0, _ = pipeline.initialize(camera, cfg, f0, f1)
+
+    sf_full, out_full = pipeline.continue_sequence(
+        camera, cfg, state0, pts[2:], apps_[2:], m[2:], ids[2:]
+    )
+    state_a, out_a = pipeline.continue_sequence(
+        camera, cfg, state0, pts[2:16], apps_[2:16], m[2:16], ids[2:16]
+    )
+    state_b, out_b = pipeline.continue_sequence(
+        camera, cfg, state_a, pts[16:], apps_[16:], m[16:], ids[16:]
+    )
+    split_poses = np.concatenate([np.asarray(out_a.pose), np.asarray(out_b.pose)])
+    np.testing.assert_array_equal(np.asarray(out_full.pose), split_poses)
+    # Final carried state matches too: map layout and positions, lookup,
+    # triangulation carry.
+    np.testing.assert_array_equal(
+        np.asarray(sf_full.map.valid), np.asarray(state_b.map.valid)
+    )
+    # Map POSITIONS: the frame-0 gauge chains are tree-reduced
+    # (associative_scan over f32 matmuls), so a split re-associates the
+    # products at the boundary — documented ~1e-5 tolerance
+    # (pipeline.continue_sequence docstring); everything else is exact.
+    np.testing.assert_allclose(
+        np.asarray(sf_full.map.points), np.asarray(state_b.map.points),
+        atol=1e-4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sf_full.point_lookup), np.asarray(state_b.point_lookup)
+    )
+
+    # Cross-backend: the scan resume and the fused resume are different
+    # f32 programs; they must agree to the kernel-equality tolerance.
+    cfg_x = cfg.replace(scan_backend="xla", solver_backend="xla")
+    sx, out_x = pipeline.continue_sequence(
+        camera, cfg_x, state0, pts[2:], apps_[2:], m[2:], ids[2:]
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_full.pose), np.asarray(out_x.pose), atol=2e-3
+    )
+    assert int(np.asarray(sf_full.map.valid).sum()) == int(
+        np.asarray(sx.map.valid).sum()
+    )

@@ -277,3 +277,47 @@ def test_packed_refinement_matches_unpacked(rng):
     np.testing.assert_array_equal(
         np.asarray(out_p.frame_idx), np.asarray(sparse.frame_idx)
     )
+
+
+@pytest.mark.parametrize("n_lm", [4])
+def test_sharded_packed_matches_single_device(rng, n_lm):
+    """The per-shard fixed-degree packed layout
+    (partition_observations_packed + lm_degree) must reproduce the
+    single-device step — the scatter-free form every shard runs on TPU."""
+    if len(jax.devices()) < n_lm:
+        pytest.skip("needs virtual devices")
+    from jax.sharding import Mesh
+
+    cam, _, sparse, *_ = _problems(rng, f=3, l=64)
+    single, s_single = sba.sparse_ba_step(
+        cam.camera_matrix, sparse, damping=0.1, cg_iterations=200,
+        cg_tolerance=1e-10,
+    )
+
+    fi, li, uv, mask, l_per, degree = sba.partition_observations_packed(
+        n_lm, 64, np.asarray(sparse.frame_idx), np.asarray(sparse.lm_idx),
+        np.asarray(sparse.uv), np.asarray(sparse.obs_mask),
+    )
+    lms = np.zeros((n_lm * l_per, 3), np.float32)
+    lms[:64] = np.asarray(sparse.landmarks)
+    sharded_problem = sba.SparseBAProblem(
+        poses=sparse.poses,
+        landmarks=jnp.asarray(lms),
+        frame_idx=jnp.asarray(fi),
+        lm_idx=jnp.asarray(li),
+        uv=jnp.asarray(uv),
+        obs_mask=jnp.asarray(mask),
+    )
+    mesh = Mesh(np.array(jax.devices()[:n_lm]), ("lm",))
+    step = sba.make_sharded_sparse_ba_step(
+        mesh, damping=0.1, cg_iterations=200, cg_tolerance=1e-10,
+        lm_degree=degree,
+    )
+    out, s_shard = step(cam.camera_matrix, sharded_problem)
+    assert int(s_single.num_obs) == int(s_shard.num_obs)
+    np.testing.assert_allclose(
+        np.asarray(single.poses), np.asarray(out.poses), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(single.landmarks), np.asarray(out.landmarks)[:64], atol=5e-4
+    )

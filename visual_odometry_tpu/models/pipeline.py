@@ -477,6 +477,97 @@ class InitTriangulation(NamedTuple):
     valid: Array   # (S,) bool
 
 
+def _resolve_scan_backend(config: VOConfig) -> str:
+    if config.scan_backend == "auto":
+        return "fused" if jax.default_backend() == "tpu" else "xla"
+    return config.scan_backend
+
+
+def _run_fused(
+    camera: Camera,
+    config: VOConfig,
+    x_curr: Array,
+    tri_points: Array,
+    tri_valid: Array,
+    cand,
+    prev: FrameData,
+    cur: FrameData,
+    corr_all: matching.Correspondences,
+    fused_interpret: bool,
+) -> FrameOutput:
+    """The whole frame loop as ONE kernel launch (ops/pallas/frame_kernel):
+    the scan form costs ~38 device kernels per frame in sequencing overhead
+    alone. Everything pose-independent is hoisted out of the kernel and
+    batched over frames here: appearance gathers, match counts, the
+    lane-aligned pixel rows, and the frame-to-frame world join's first-wins
+    candidate chains (pure index arithmetic over the correspondence
+    tables — precomputed by the caller, who knows where the previous step's
+    correspondences come from: the bootstrap pair for a fresh sequence,
+    the carried ``point_lookup`` for a resumed one)."""
+    from ..ops.pallas import frame_kernel, gather_kernel
+
+    cam_params = jnp.stack(
+        [camera.z_near, camera.z_far, camera.cols, camera.rows]
+    )
+    safe1 = jnp.where(corr_all.valid, corr_all.idx1, 0)
+    safe2 = jnp.where(corr_all.valid, corr_all.idx2, 0)
+    # Lane-aligned pixel rows via the Pallas gather kernel (XLA's
+    # general gather serializes on the scalar core; gather_kernel).
+    px1, py1, px2, py2 = gather_kernel.take_lanes(
+        [prev.points[..., 0], prev.points[..., 1],
+         cur.points[..., 0], cur.points[..., 1]],
+        [safe1, safe1, safe2, safe2],
+        interpret=fused_interpret,
+    )
+    prev_al = jnp.stack([px1, py1], axis=-1)
+    cur_al = jnp.stack([px2, py2], axis=-1)
+    poses, tri_all, tri_ok_all, solver_stats = frame_kernel.track_frames_fused(
+        camera.camera_matrix,
+        cam_params,
+        x_curr,
+        tri_points,
+        tri_valid,
+        cand,
+        prev_al,
+        cur_al,
+        corr_all.valid,
+        config.gn_iterations,
+        jnp.asarray(config.kernel_threshold, jnp.float32),
+        jnp.asarray(config.damping, jnp.float32),
+        jnp.asarray(
+            config.gn_tolerance if config.gn_tolerance > 0.0 else -1.0,
+            jnp.float32,
+        ),
+        keep_outliers=config.keep_outliers,
+        warm_start=config.warm_start,
+        min_num_inliers=jnp.asarray(config.min_num_inliers, jnp.float32),
+        interpret=fused_interpret,
+        min_iterations=config.gn_min_iterations,
+        planar=config.planar,
+        cam_in_robot=config.planar_mount(),
+    )
+    d_app = cur.appearances.shape[-1]
+    tri_apps_all = jnp.stack(
+        gather_kernel.take_lanes(
+            [cur.appearances[..., j] for j in range(d_app)],
+            [safe2] * d_app,
+            interpret=fused_interpret,
+        ),
+        axis=-1,
+    )
+    return FrameOutput(
+        pose=poses,
+        num_matches=jnp.sum(corr_all.valid.astype(jnp.int32), axis=1),
+        num_solver_corr=solver_stats[:, 3].astype(jnp.int32),
+        num_inliers=solver_stats[:, 2].astype(jnp.int32),
+        chi_inliers=solver_stats[:, 0],
+        tri_points=tri_all,
+        tri_apps=tri_apps_all,
+        tri_valid=tri_ok_all,
+        join_overflow=jnp.sum(cand.overflow.astype(jnp.int32), axis=1),
+    )
+
+
 def _track(
     camera: Camera,
     config: VOConfig,
@@ -511,13 +602,7 @@ def _track(
     prev = FrameData(points[1:-1], appearances[1:-1], masks[1:-1], ids[1:-1])
     corr_all = _batched_match(config, use_known_da, rest, prev)
 
-    backend = config.scan_backend
-    if backend == "auto":
-        backend = (
-            "fused"
-            if (not config.planar and jax.default_backend() == "tpu")
-            else "xla"
-        )
+    backend = _resolve_scan_backend(config)
 
     # "fused_interpret" runs the same fused kernel through the Pallas
     # interpreter — the CPU-testable form of the fused path (used by
@@ -527,33 +612,8 @@ def _track(
         backend = "fused"
 
     if backend == "fused":
-        # The whole frame loop as ONE kernel launch (ops/pallas/frame_kernel):
-        # the scan form costs ~38 device kernels per frame in sequencing
-        # overhead alone. Everything pose-independent is hoisted out of the
-        # kernel and batched over frames here: appearance gathers, match
-        # counts, the lane-aligned pixel rows, and the frame-to-frame world
-        # join's first-wins candidate chains (pure index arithmetic over the
-        # correspondence tables — join_candidates) so the kernel performs no
-        # (S, S) one-hot work at all.
         from ..ops.pallas import frame_kernel
 
-        cam_params = jnp.stack(
-            [camera.z_near, camera.z_far, camera.cols, camera.rows]
-        )
-        from ..ops.pallas import gather_kernel
-
-        safe1 = jnp.where(corr_all.valid, corr_all.idx1, 0)
-        safe2 = jnp.where(corr_all.valid, corr_all.idx2, 0)
-        # Lane-aligned pixel rows via the Pallas gather kernel (XLA's
-        # general gather serializes on the scalar core; gather_kernel).
-        px1, py1, px2, py2 = gather_kernel.take_lanes(
-            [prev.points[..., 0], prev.points[..., 1],
-             rest.points[..., 0], rest.points[..., 1]],
-            [safe1, safe1, safe2, safe2],
-            interpret=fused_interpret,
-        )
-        prev_al = jnp.stack([px1, py1], axis=-1)
-        cur_al = jnp.stack([px2, py2], axis=-1)
         # Step i's world join looks up step i-1's correspondence targets
         # (the bootstrap pair's for the first tracked frame).
         src_idx2 = jnp.concatenate(
@@ -566,48 +626,9 @@ def _track(
             src_idx2, src_valid, corr_all.idx1, corr_all.valid,
             config.fused_join_depth, interpret=fused_interpret,
         )
-        poses, tri_all, tri_ok_all, solver_stats = frame_kernel.track_frames_fused(
-            camera.camera_matrix,
-            cam_params,
-            state.x_curr,
-            state.tri_points,
-            state.tri_valid,
-            cand,
-            prev_al,
-            cur_al,
-            corr_all.valid,
-            config.gn_iterations,
-            jnp.asarray(config.kernel_threshold, jnp.float32),
-            jnp.asarray(config.damping, jnp.float32),
-            jnp.asarray(
-                config.gn_tolerance if config.gn_tolerance > 0.0 else -1.0,
-                jnp.float32,
-            ),
-            keep_outliers=config.keep_outliers,
-            warm_start=config.warm_start,
-            min_num_inliers=jnp.asarray(config.min_num_inliers, jnp.float32),
-            interpret=fused_interpret,
-            min_iterations=config.gn_min_iterations,
-        )
-        d_app = rest.appearances.shape[-1]
-        tri_apps_all = jnp.stack(
-            gather_kernel.take_lanes(
-                [rest.appearances[..., j] for j in range(d_app)],
-                [safe2] * d_app,
-                interpret=fused_interpret,
-            ),
-            axis=-1,
-        )
-        outs = FrameOutput(
-            pose=poses,
-            num_matches=jnp.sum(corr_all.valid.astype(jnp.int32), axis=1),
-            num_solver_corr=solver_stats[:, 3].astype(jnp.int32),
-            num_inliers=solver_stats[:, 2].astype(jnp.int32),
-            chi_inliers=solver_stats[:, 0],
-            tri_points=tri_all,
-            tri_apps=tri_apps_all,
-            tri_valid=tri_ok_all,
-            join_overflow=jnp.sum(cand.overflow.astype(jnp.int32), axis=1),
+        outs = _run_fused(
+            camera, config, state.x_curr, state.tri_points, state.tri_valid,
+            cand, prev, rest, corr_all, fused_interpret,
         )
     else:
 
@@ -705,6 +726,22 @@ def continue_sequence(
     Scanning the same frames in one call or across several calls with the
     carried state in between produces identical results — the carry is the
     complete pipeline state (utils/checkpoint.py round-trips it).
+
+    On TPU (scan_backend "auto"/"fused") the resumed frames run through
+    the SAME one-kernel-launch fused path as ``run_sequence``: the first
+    resumed frame's world-join chain comes straight from the carried
+    ``point_lookup`` (which already folds first-wins AND triangulation
+    validity, so a single exact candidate per lane reproduces the scan
+    join bit-for-bit), later frames use the standard precomputed chains,
+    and the per-frame map merges collapse into ONE ``merge_stream`` pass
+    seeded with the carried map's live entries (identical slot layout to
+    iterating ``landmark_map.update``: entries keep first-observation
+    order, every re-observation's LAST position wins). Split-vs-one-shot
+    equality on the fused backend: poses, map layout and the carried
+    lookup are bit-exact; map POSITIONS agree to ~1e-5 — the frame-0
+    gauge chains are tree-reduced (``associative_scan`` over f32 matmuls,
+    non-associative), so a split re-associates the products at the
+    boundary (tests/test_checkpoint.py::test_split_equals_oneshot_fused).
     """
     frames = FrameData(points, appearances, masks, ids)
     # Previous-frame stack: the carried reference frame, then frames 0..F'-2.
@@ -712,6 +749,81 @@ def continue_sequence(
         lambda r, xs: jnp.concatenate([r[None], xs[:-1]], axis=0), state.ref, frames
     )
     corr_all = _batched_match(config, use_known_da, frames, prev)
+
+    backend = _resolve_scan_backend(config)
+    fused_interpret = backend == "fused_interpret"
+    if fused_interpret or backend == "fused":
+        from ..ops.pallas import frame_kernel
+
+        s = config.n_slots
+        depth = config.fused_join_depth
+        f_new = points.shape[0]
+        # First resumed frame: the carried lookup IS the join (slot of the
+        # first successfully-triangulated first-wins source, or -1).
+        idx1_0 = corr_all.idx1[0]
+        valid_0 = corr_all.valid[0]
+        slot0 = state.point_lookup[jnp.where(valid_0, idx1_0, 0)]
+        has0 = valid_0 & (slot0 >= 0)
+        safe0 = jnp.where(has0, slot0, 0)
+        zeros = jnp.zeros((1, depth - 1, s), jnp.int32) if depth > 1 else None
+
+        def lvl0(x):
+            head = x.reshape(1, 1, s)
+            if depth == 1:
+                return head
+            return jnp.concatenate([head, zeros], axis=1)
+
+        cand0 = frame_kernel.JoinCandidates(
+            lo=lvl0((safe0 % 128).astype(jnp.int32)),
+            hi=lvl0((safe0 // 128).astype(jnp.int32)),
+            ok=lvl0(has0.astype(jnp.int32)) > 0,
+            overflow=jnp.zeros((1, s), bool),  # the lookup join is exact
+        )
+        if f_new > 1:
+            cand_rest = frame_kernel.join_candidates(
+                corr_all.idx2[:-1], corr_all.valid[:-1],
+                corr_all.idx1[1:], corr_all.valid[1:],
+                depth, interpret=fused_interpret,
+            )
+            cand = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], axis=0), cand0, cand_rest
+            )
+        else:
+            cand = cand0
+        outs = _run_fused(
+            camera, config, state.x_curr, state.tri_points, state.tri_valid,
+            cand, prev, frames, corr_all, fused_interpret,
+        )
+
+        # Fold the map once: carried live entries head the stream (their
+        # slot order = insertion order), then every resumed frame's
+        # triangulation in frame-0 coords.
+        inv_poses = jax.vmap(se3.inverse)(outs.pose)
+        chains = jax.lax.associative_scan(
+            jnp.matmul,
+            jnp.concatenate([state.history[None], inv_poses[:-1]], axis=0),
+        )  # chains[j] maps tracked frame j's PREVIOUS frame coords -> frame 0
+        tri_world = jax.vmap(se3.transform_points)(chains, outs.tri_points)
+        d = appearances.shape[-1]
+        new_map = landmark_map.merge_stream(
+            jnp.concatenate([state.map.points, tri_world.reshape(-1, 3)]),
+            jnp.concatenate([state.map.appearances, outs.tri_apps.reshape(-1, d)]),
+            jnp.concatenate([state.map.valid, outs.tri_valid.reshape(-1)]),
+            config.map_capacity,
+        )
+
+        last = jax.tree.map(lambda x: x[-1], frames)
+        corr_last = jax.tree.map(lambda x: x[-1], corr_all)
+        new_state = VOState(
+            ref=last,
+            point_lookup=_lookup_from_corr(corr_last, outs.tri_valid[-1], s),
+            tri_points=outs.tri_points[-1],
+            tri_valid=outs.tri_valid[-1],
+            x_curr=outs.pose[-1],
+            history=chains[-1] @ se3.inverse(outs.pose[-1]),
+            map=new_map,
+        )
+        return new_state, outs
 
     def body(carry, xs):
         frame, corr = xs
@@ -750,6 +862,7 @@ def relocalize_frame(
     dist, idx = matching.best_match(
         frame.appearances, frame.mask, map_state.appearances,
         map_state.valid, backend=config.matcher_backend, interpret=interpret,
+        precision=config.matcher_precision,
     )
     r2 = jnp.asarray(config.match_radius, dist.dtype) ** 2
     valid = frame.mask & (dist < r2)

@@ -273,9 +273,13 @@ def refine_trajectory_sparse(
     else:
         n_lm = mesh.shape["lm"]
         l = map_pts.shape[0]
-        fi_s, li_s, uv_s, mask_s, l_per = sba.partition_observations(
-            n_lm, l, np.asarray(fi), np.asarray(li), np.asarray(uv),
-            np.asarray(mask),
+        # Per-shard fixed-degree packed layout: every shard's LM-side CG
+        # stages run scatter-free (sparse_ba.partition_observations_packed).
+        fi_s, li_s, uv_s, mask_s, l_per, degree = (
+            sba.partition_observations_packed(
+                n_lm, l, np.asarray(fi), np.asarray(li), np.asarray(uv),
+                np.asarray(mask),
+            )
         )
         lms = np.zeros((n_lm * l_per, 3), np.float32)
         lms[:l] = np.asarray(map_pts)
@@ -287,6 +291,7 @@ def refine_trajectory_sparse(
         step = sba.make_sharded_sparse_ba_step(
             mesh, damping=damping, kernel_threshold=kernel_threshold,
             cg_iterations=cg_iterations, cg_tolerance=cg_tolerance,
+            lm_degree=degree,
         )
         for _ in range(num_iterations):
             problem, stats = step(k, problem)

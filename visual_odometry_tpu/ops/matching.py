@@ -114,6 +114,7 @@ def best_match(
     db_mask: Array,
     backend: str = "auto",
     interpret: bool = False,
+    precision: str = "highest",
 ) -> Tuple[Array, Array]:
     """Top-1 nearest database row per query -> (sq_distance, index).
 
@@ -126,6 +127,15 @@ def best_match(
     "auto" picks pallas on TPU once the database has >= PALLAS_MIN_DB rows.
     Identical results either way: first index wins ties, masked queries
     return _BIG, masked database rows never win.
+
+    ``precision="fast"`` (pallas backend only) runs the gram matmul in one
+    bf16 MXU pass instead of six f32-HIGHEST passes and re-scores the
+    selected winner exactly in f32 — the classic select-fast /
+    rescore-exact retrieval split. Returned DISTANCES are exact for the
+    returned index either way; SELECTION may differ from "highest" only
+    between candidates within bf16 rounding of each other (guarded by
+    utils/selfcheck.check_matcher_fast on margin-separated data). The
+    "xla" backend ignores it (always exact).
     """
     if backend == "auto":
         backend = (
@@ -136,7 +146,11 @@ def best_match(
     if backend == "pallas":
         from .pallas.matcher_kernel import best_match_pallas
 
-        return best_match_pallas(queries, q_mask, db, db_mask, interpret=interpret)
+        fast = precision == "fast"
+        return best_match_pallas(
+            queries, q_mask, db, db_mask, interpret=interpret,
+            precision="default" if fast else "highest", exact_rescore=fast,
+        )
     d = pairwise_sq_dists(queries, db)
     d = jnp.where(q_mask[:, None] & db_mask[None, :], d, _BIG)
     idx = jnp.argmin(d, axis=1).astype(jnp.int32)

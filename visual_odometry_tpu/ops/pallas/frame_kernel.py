@@ -65,7 +65,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .picp_kernel import _mat3mul, _mat3vec, _transpose3, gn_loop
+from .picp_kernel import _mat3mul, _mat3vec, _transpose3, gn_loop, gn_loop_se2
 
 Array = jnp.ndarray
 
@@ -227,7 +227,9 @@ def _kernel(
     min_iterations,
     depth,
     block_frames,
-    scal_ref,       # SMEM (C, 40): params + K + iK + init pose, per chunk
+    planar,
+    scal_ref,       # SMEM (C, 40 | 64): params + K + iK + init pose
+                    #   (+ mount [R|t] and its inverse when planar), per chunk
     pix_ref,        # (FB, 5, S): prev u/v, cur u/v, corr-valid rows [c, b]
     cand_ref,       # (FB, 3*D, S) i32: lo rows, hi rows, ok rows      [c, b]
     init_tri_ref,   # (4, S): initial tri x/y/z/ok rows                [c]
@@ -256,6 +258,9 @@ def _kernel(
     min_inl = scal_ref[c, 9]
     k = tuple(scal_ref[c, 10 + j] for j in range(9))   # K row-major
     ik = tuple(scal_ref[c, 19 + j] for j in range(9))  # K^-1 row-major
+    if planar:
+        cmnt = tuple(scal_ref[c, 40 + j] for j in range(12))
+        cmnt_inv = tuple(scal_ref[c, 52 + j] for j in range(12))
 
     @pl.when(b == 0)
     def _():
@@ -311,11 +316,19 @@ def _kernel(
         pose0 = tuple(
             jnp.where(warm > 0.5, pose[j], eye[j]) for j in range(12)
         )
-        final = gn_loop(
-            num_iterations, k, pose0, gwx, gwy, gwz, gmx, gmy, weight,
-            z_near, z_far, cols, rows, kt, keep_out, damping, tol, min_inl,
-            min_iterations,
-        )
+        if planar:
+            final = gn_loop_se2(
+                num_iterations, k, cmnt, cmnt_inv, pose0,
+                gwx, gwy, gwz, gmx, gmy, weight,
+                z_near, z_far, cols, rows, kt, keep_out, damping, tol,
+                min_inl, min_iterations,
+            )
+        else:
+            final = gn_loop(
+                num_iterations, k, pose0, gwx, gwy, gwz, gmx, gmy, weight,
+                z_near, z_far, cols, rows, kt, keep_out, damping, tol, min_inl,
+                min_iterations,
+            )
         new_pose = final[0:12]
         chi_in, chi_out, n_in = final[13], final[14], final[15]
 
@@ -404,6 +417,7 @@ def _run_batched(
     keep_outliers: bool,
     warm_start: bool,
     interpret: bool,
+    planar: bool,
     camera_matrix: Array,     # (C, 3, 3)
     cam_params: Array,        # (C, 4)
     x_init: Array,            # (C, 4, 4)
@@ -419,6 +433,7 @@ def _run_batched(
     damping: Array,           # (C,)
     tolerance: Array,         # (C,)
     min_num_inliers: Array,   # (C,)
+    cam_in_robot: Array,      # (C, 4, 4) mount pose (planar only; identity OK)
 ) -> Tuple[Array, Array, Array, Array]:
     """Chunk-batched fused tracking: grid (C, NB), frame blocks of FB.
 
@@ -453,30 +468,35 @@ def _run_batched(
         pix = jnp.pad(pix, ((0, 0), (0, f_pad - f), (0, 0), (0, 0)))
         cand = jnp.pad(cand, ((0, 0), (0, f_pad - f), (0, 0), (0, 0)))
 
-    def make_scal(cm, cp, x0, kt, dmp, tol, min_inl):
-        return jnp.concatenate(
-            [
-                cp.astype(jnp.float32),
-                jnp.stack(
-                    [
-                        kt.astype(jnp.float32),
-                        jnp.asarray(1.0 if keep_outliers else 0.0, jnp.float32),
-                        dmp.astype(jnp.float32),
-                        tol.astype(jnp.float32),
-                        jnp.asarray(1.0 if warm_start else 0.0, jnp.float32),
-                        min_inl.astype(jnp.float32),
-                    ]
-                ),
-                cm.reshape(9).astype(jnp.float32),
-                jnp.linalg.inv(cm).reshape(9).astype(jnp.float32),
-                x0[:3, :4].reshape(12).astype(jnp.float32),
-            ]
-        )
+    def make_scal(cm, cp, x0, kt, dmp, tol, min_inl, mount):
+        rows_out = [
+            cp.astype(jnp.float32),
+            jnp.stack(
+                [
+                    kt.astype(jnp.float32),
+                    jnp.asarray(1.0 if keep_outliers else 0.0, jnp.float32),
+                    dmp.astype(jnp.float32),
+                    tol.astype(jnp.float32),
+                    jnp.asarray(1.0 if warm_start else 0.0, jnp.float32),
+                    min_inl.astype(jnp.float32),
+                ]
+            ),
+            cm.reshape(9).astype(jnp.float32),
+            jnp.linalg.inv(cm).reshape(9).astype(jnp.float32),
+            x0[:3, :4].reshape(12).astype(jnp.float32),
+        ]
+        if planar:
+            from ...ops import se3
+
+            m44 = mount.astype(jnp.float32)
+            rows_out.append(m44[:3, :4].reshape(12))
+            rows_out.append(se3.inverse(m44)[:3, :4].reshape(12))
+        return jnp.concatenate(rows_out)
 
     scal = jax.vmap(make_scal)(
         camera_matrix, cam_params, x_init, kernel_threshold, damping, tolerance,
-        min_num_inliers,
-    )                                                     # (C, 40)
+        min_num_inliers, cam_in_robot,
+    )                                                     # (C, 40 | 64)
     init_tri_rows = jnp.concatenate(
         [
             init_tri.transpose(0, 2, 1),
@@ -486,7 +506,9 @@ def _run_batched(
     )                                                     # (C, 4, S)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, num_iterations, min_iterations, depth, fb),
+        functools.partial(
+            _kernel, num_iterations, min_iterations, depth, fb, planar
+        ),
         grid=(c, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -529,7 +551,7 @@ def _run_batched(
 
 @functools.lru_cache(maxsize=None)
 def _fused_fn(num_iterations, min_iterations, depth, keep_outliers, warm_start,
-              interpret):
+              interpret, planar):
     """custom_vmap-wrapped single-sequence tracker for these static options.
 
     vmap-ing the fused call (the chunk axis of parallel/posegraph) must NOT
@@ -542,16 +564,17 @@ def _fused_fn(num_iterations, min_iterations, depth, keep_outliers, warm_start,
     def fn(
         camera_matrix, cam_params, x_init, init_tri, init_tri_ok,
         cand_lo, cand_hi, cand_ok, prev_al, cur_al, corr_valid,
-        kernel_threshold, damping, tolerance, min_num_inliers,
+        kernel_threshold, damping, tolerance, min_num_inliers, cam_in_robot,
     ):
         args = (
             camera_matrix, cam_params, x_init, init_tri, init_tri_ok,
             cand_lo, cand_hi, cand_ok, prev_al, cur_al, corr_valid,
             kernel_threshold, damping, tolerance, min_num_inliers,
+            cam_in_robot,
         )
         outs = _run_batched(
             num_iterations, min_iterations, depth, keep_outliers, warm_start,
-            interpret, *(a[None] for a in args),
+            interpret, planar, *(a[None] for a in args),
         )
         return jax.tree.map(lambda x: x[0], outs)
 
@@ -563,7 +586,7 @@ def _fused_fn(num_iterations, min_iterations, depth, keep_outliers, warm_start,
         )
         outs = _run_batched(
             num_iterations, min_iterations, depth, keep_outliers, warm_start,
-            interpret, *args_b
+            interpret, planar, *args_b
         )
         return outs, jax.tree.map(lambda _: True, outs)
 
@@ -589,6 +612,8 @@ def track_frames_fused(
     interpret: bool = False,
     min_num_inliers: Array = 0.0,
     min_iterations: int = 1,
+    planar: bool = False,
+    cam_in_robot: "Array | None" = None,
 ) -> Tuple[Array, Array, Array, Array]:
     """Run the whole F-frame tracking loop in one kernel launch.
 
@@ -600,11 +625,20 @@ def track_frames_fused(
     — the same contract as scanning models/pipeline.frame_step with
     merge_map=False (the map merge is hoisted by the caller either way).
     vmap over a leading chunk axis folds into the kernel grid (see _fused_fn).
+
+    ``planar=True`` runs the conjugated-SE(2) solver (picp_kernel.
+    gn_loop_se2, the est_SE2 branch) with ``cam_in_robot`` as the mount
+    pose (None = identity mount); callers planarize ``x_init`` so the
+    whole carried trajectory stays in the conjugated subgroup.
     """
     depth = cand.lo.shape[1]
     fn = _fused_fn(
         int(num_iterations), int(min_iterations), int(depth),
-        bool(keep_outliers), bool(warm_start), bool(interpret)
+        bool(keep_outliers), bool(warm_start), bool(interpret), bool(planar)
+    )
+    mount = (
+        jnp.eye(4, dtype=jnp.float32) if cam_in_robot is None
+        else jnp.asarray(cam_in_robot, jnp.float32)
     )
     return fn(
         camera_matrix,
@@ -622,4 +656,5 @@ def track_frames_fused(
         jnp.asarray(damping, jnp.float32),
         jnp.asarray(tolerance, jnp.float32),
         jnp.asarray(min_num_inliers, jnp.float32),
+        mount,
     )

@@ -140,7 +140,12 @@ def take_table(table: Array, idx: Array, interpret: bool = False) -> Array:
     nb = 2048
     blocks = -(-n // nb)
     n_pad = blocks * nb
-    tab = jnp.pad(table.astype(jnp.float32), ((0, 8 - r), (0, 0)))
+    # Lane-pad the table to a vreg multiple: _table_gather's tiled
+    # single-vreg gathers need full 128-lane source tiles (a 64-frame
+    # table would otherwise feed a (8, 64) source to a 128-lane gather,
+    # which Mosaic rejects). idx is clipped to t-1, so pad lanes are dead.
+    t_lane = max(_LANE, -(-t // _LANE) * _LANE)
+    tab = jnp.pad(table.astype(jnp.float32), ((0, 8 - r), (0, t_lane - t)))
     idx_p = jnp.broadcast_to(
         jnp.pad(idx.astype(jnp.int32), (0, n_pad - n)).reshape(blocks, 1, nb),
         (blocks, 8, nb),
@@ -149,7 +154,7 @@ def take_table(table: Array, idx: Array, interpret: bool = False) -> Array:
         functools.partial(_tab_kernel, nb),
         grid=(blocks,),
         in_specs=[
-            pl.BlockSpec((8, t), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, t_lane), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 8, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(

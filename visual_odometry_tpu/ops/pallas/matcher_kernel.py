@@ -91,7 +91,7 @@ def best_match_pallas(
     db: Array,          # (K, D)
     db_mask: Array,     # (K,) bool
     tq: int = 0,
-    tk: int = 2048,
+    tk: int = 0,
     interpret: bool = False,
     precision: str = "highest",
     exact_rescore: bool = False,
@@ -118,6 +118,14 @@ def best_match_pallas(
         # 16384 steps, ~20 ms; tq=1024/tk=2048 -> 512 steps, near the
         # ~8 ms f32-highest MXU floor.
         tq = min(1024, -(-q // LANE) * LANE)
+    if tk <= 0:
+        # Grid-step sequencing (~25 us per Mosaic step) is the matcher's
+        # other half at big K: 64 steps at K=131072/tk=2048 cost ~1.6 ms
+        # against a ~1.05 ms f32-highest MXU floor (matcher_mfu plateaued
+        # at ~0.50, BENCH_r04). Deepen the database tile once K pays for
+        # it — the (tq, tk) distance transient plus the double-buffered db
+        # block stay within ~50 MB of VMEM at tq=1024/tk=8192.
+        tk = 2048 if k <= 32768 else 8192
     q_pad = -(-q // tq) * tq
     k_pad = -(-k // tk) * tk
 

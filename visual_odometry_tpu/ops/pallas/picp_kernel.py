@@ -431,6 +431,165 @@ def gn_loop(
     return jax.lax.while_loop(cond, body, init)[1:]
 
 
+def gn_loop_se2(
+    num_iterations, k, c, c_inv, pose0, wx, wy, wz, mx, my, wgt_in,
+    z_near, z_far, cols, rows, kt, keep_out, damping, tol, min_inl=0.0,
+    min_iterations=1,
+):
+    """The planar (conjugated-SE(2)) Gauss-Newton loop as in-kernel code.
+
+    The 3-DoF twin of :func:`gn_loop`, replicating
+    ``ops.picp_se2.solve_se2`` (the est_SE2 estimation branch,
+    /root/reference/README.md:13): increments d = (dx, dy, dtheta) act on
+    the world-in-camera pose conjugated through the camera mount,
+    ``X <- c^-1 T(d) c X``, so the relative ROBOT motion stays exactly in
+    SE(2). ``c``/``c_inv`` are the mount [R|t] and its inverse as
+    row-major 12-scalar tuples; everything else matches :func:`gn_loop`
+    (same frustum/robust-kernel semantics, same early-exit contract).
+
+    Jacobian (picp_se2.linearize_se2): with q = c X p the point in robot
+    coords, d(p_cam)/dd = c_R^T [e_x | e_y | skew(e_z) q], whose camera-
+    coord columns are row0(c_R), row1(c_R) and qx*row1 - qy*row0 — three
+    lane-vector dot products against the shared A = Jp K rows.
+    """
+    cr0 = (c[0], c[1], c[2])   # row 0 of the mount rotation
+    cr1 = (c[4], c[5], c[6])   # row 1
+
+    def cond(carry):
+        it, *_rest, active, _ci, _co, _ni = carry
+        return (it < num_iterations) & ((active > 0.5) | (it < min_iterations))
+
+    def body(carry):
+        (it, r00, r01, r02, t0, r10, r11, r12, t1, r20, r21, r22, t2,
+         active, chi_in, chi_out, n_in) = carry
+
+        # --- linearize (shared projection/robust math with gn_loop) ---
+        px = r00 * wx + r01 * wy + r02 * wz + t0
+        py = r10 * wx + r11 * wy + r12 * wz + t1
+        pz = r20 * wx + r21 * wy + r22 * wz + t2
+        hx = k[0] * px + k[1] * py + k[2] * pz
+        hy = k[3] * px + k[4] * py + k[5] * pz
+        hz = k[6] * px + k[7] * py + k[8] * pz
+        iz = 1.0 / jnp.where(hz == 0.0, 1.0, hz)
+        u = hx * iz
+        v = hy * iz
+        valid = (
+            (pz <= z_far) & (pz >= z_near) & (hz > 1e-6)
+            & (u >= 0.0) & (u <= cols - 1.0)
+            & (v >= 0.0) & (v <= rows - 1.0)
+        )
+        ex = u - mx
+        ey = v - my
+        chi = ex * ex + ey * ey
+        is_out = chi > kt
+        lam = jnp.where(is_out, jnp.sqrt(kt / jnp.maximum(chi, 1e-30)), 1.0)
+        live = wgt_in * valid.astype(jnp.float32)
+        w = live * jnp.where(is_out, keep_out, 1.0) * lam
+
+        iz2 = iz * iz
+        a00 = k[0] * iz - k[6] * hx * iz2
+        a01 = k[1] * iz - k[7] * hx * iz2
+        a02 = k[2] * iz - k[8] * hx * iz2
+        a10 = k[3] * iz - k[6] * hy * iz2
+        a11 = k[4] * iz - k[7] * hy * iz2
+        a12 = k[5] * iz - k[8] * hy * iz2
+
+        # q = c p_cam in robot coords (x, y only — z never enters).
+        qx = c[0] * px + c[1] * py + c[2] * pz + c[3]
+        qy = c[4] * px + c[5] * py + c[6] * pz + c[7]
+        # Planar Jacobian columns in camera coords.
+        ctx = tuple(qx * b - qy * a for a, b in zip(cr0, cr1))
+        jx = (
+            a00 * cr0[0] + a01 * cr0[1] + a02 * cr0[2],
+            a00 * cr1[0] + a01 * cr1[1] + a02 * cr1[2],
+            a00 * ctx[0] + a01 * ctx[1] + a02 * ctx[2],
+        )
+        jy = (
+            a10 * cr0[0] + a11 * cr0[1] + a12 * cr0[2],
+            a10 * cr1[0] + a11 * cr1[1] + a12 * cr1[2],
+            a10 * ctx[0] + a11 * ctx[1] + a12 * ctx[2],
+        )
+
+        # H (6 unique), b (3), stats (3): one stacked (12, N) reduction.
+        inl = live * (1.0 - is_out.astype(jnp.float32))
+        rows_l = []
+        for i in range(3):
+            for j in range(i, 3):
+                rows_l.append(w * (jx[i] * jx[j] + jy[i] * jy[j]))
+        for i in range(3):
+            rows_l.append(w * (jx[i] * ex + jy[i] * ey))
+        rows_l.append(chi * inl)
+        rows_l.append(chi * live * is_out.astype(jnp.float32))
+        rows_l.append(inl)
+        sums = jnp.sum(jnp.stack(rows_l), axis=1)   # (12,)
+        hm = {}
+        idx = 0
+        for i in range(3):
+            for j in range(i, 3):
+                hm[(i, j)] = sums[idx]
+                idx += 1
+        bv = tuple(sums[6 + i] for i in range(3))
+        new_chi_in = sums[9]
+        new_chi_out = sums[10]
+        new_n_in = sums[11]
+
+        # --- damped, Jacobi-scaled 3x3 solve (see gn_loop's rationale) ---
+        md = tuple(hm[(i, i)] + damping for i in range(3))
+        sc = tuple(jax.lax.rsqrt(jnp.maximum(m, 1e-30)) for m in md)
+
+        def se(i, j):
+            return hm[(min(i, j), max(i, j))] * sc[i] * sc[j]
+
+        one = jnp.ones_like(md[0])
+        A = (one, se(0, 1), se(0, 2),
+             se(0, 1), one, se(1, 2),
+             se(0, 2), se(1, 2), one)
+        Ai = _inv3(A)
+        r1 = (-bv[0] * sc[0], -bv[1] * sc[1], -bv[2] * sc[2])
+        y = _mat3vec(Ai, r1)
+        dx = tuple(y[i] * sc[i] for i in range(3))
+        enough = new_n_in >= min_inl
+        dx = tuple(jnp.where(enough, d, 0.0) for d in dx)
+        dx2 = sum(d * d for d in dx)
+
+        # --- conjugated update X <- c^-1 T(d) c X (picp_se2.one_round) ---
+        sth, cth = jnp.sin(dx[2]), jnp.cos(dx[2])
+        tr = (cth, -sth, 0.0 * cth, sth, cth, 0.0 * cth,
+              0.0 * cth, 0.0 * cth, 1.0 + 0.0 * cth)
+        c_r = (c[0], c[1], c[2], c[4], c[5], c[6], c[8], c[9], c[10])
+        ci_r = (c_inv[0], c_inv[1], c_inv[2], c_inv[4], c_inv[5], c_inv[6],
+                c_inv[8], c_inv[9], c_inv[10])
+        c_t = (c[3], c[7], c[11])
+        ci_t = (c_inv[3], c_inv[7], c_inv[11])
+        incr_r = _mat3mul(ci_r, _mat3mul(tr, c_r))
+        trc = _mat3vec(tr, c_t)
+        trc = (trc[0] + dx[0], trc[1] + dx[1], trc[2])
+        incr_t = tuple(a + b for a, b in zip(_mat3vec(ci_r, trc), ci_t))
+
+        r_old = (r00, r01, r02, r10, r11, r12, r20, r21, r22)
+        r_new = _mat3mul(incr_r, r_old)
+        t_new = tuple(
+            a + b for a, b in zip(_mat3vec(incr_r, (t0, t1, t2)), incr_t)
+        )
+
+        out = (
+            it + 1,
+            r_new[0], r_new[1], r_new[2], t_new[0],
+            r_new[3], r_new[4], r_new[5], t_new[1],
+            r_new[6], r_new[7], r_new[8], t_new[2],
+            (enough & (dx2 > tol)).astype(jnp.float32),
+            new_chi_in, new_chi_out, new_n_in,
+        )
+        return out
+
+    init = (
+        (jnp.int32(0),)
+        + pose0
+        + (jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0))
+    )
+    return jax.lax.while_loop(cond, body, init)[1:]
+
+
 def _solve_kernel(num_iterations, min_iterations, scal_ref, world_ref, meas_ref, w_ref, out_ref):
     z_near, z_far, cols, rows = scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3]
     kt, keep_out, damping, tol = scal_ref[4], scal_ref[5], scal_ref[6], scal_ref[7]
@@ -509,6 +668,106 @@ def solve_fused(
 
     out = pl.pallas_call(
         functools.partial(_solve_kernel, num_iterations, min_iterations),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, n_pad), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, n_pad), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad), lambda: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        interpret=interpret,
+    )(scal, wp, mp, w)
+
+    pose = jnp.eye(4, dtype=jnp.float32)
+    pose = pose.at[:3, :4].set(
+        jnp.stack([out[0, 0:4], out[1, 0:4], out[2, 0:4]])
+    )
+    stats = PICPStats(
+        chi_inliers=out[3, 1],
+        chi_outliers=out[3, 2],
+        num_inliers=out[3, 3].astype(jnp.int32),
+    )
+    return pose, stats
+
+
+def _solve_se2_kernel(num_iterations, min_iterations, scal_ref, world_ref,
+                      meas_ref, w_ref, out_ref):
+    z_near, z_far, cols, rows = scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3]
+    kt, keep_out, damping, tol = scal_ref[4], scal_ref[5], scal_ref[6], scal_ref[7]
+    min_inl = scal_ref[8]
+    k = tuple(scal_ref[9 + i] for i in range(9))            # K row-major
+    pose0 = tuple(scal_ref[18 + i] for i in range(12))      # [R|t] 3x4
+    c = tuple(scal_ref[30 + i] for i in range(12))          # mount [R|t]
+    c_inv = tuple(scal_ref[42 + i] for i in range(12))
+
+    final = gn_loop_se2(
+        num_iterations, k, c, c_inv, pose0,
+        world_ref[0, :], world_ref[1, :], world_ref[2, :],
+        meas_ref[0, :], meas_ref[1, :], w_ref[0, :],
+        z_near, z_far, cols, rows, kt, keep_out, damping, tol, min_inl,
+        min_iterations,
+    )
+
+    out_ref[0, :] = jnp.pad(jnp.stack(final[0:4]), (0, 124))
+    out_ref[1, :] = jnp.pad(jnp.stack(final[4:8]), (0, 124))
+    out_ref[2, :] = jnp.pad(jnp.stack(final[8:12]), (0, 124))
+    out_ref[3, :] = jnp.pad(jnp.stack(final[12:16]), (0, 124))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_iterations", "keep_outliers", "interpret", "min_iterations"),
+)
+def solve_se2_fused(
+    camera_matrix: Array,     # (3, 3)
+    world_in_camera: Array,   # (4, 4) start pose (planarized by callers)
+    cam_params: Array,        # (4,) z_near, z_far, cols, rows
+    cam_in_robot: Array,      # (4, 4) mount pose (identity => camera IS body)
+    world_points: Array,      # (N, 3)
+    measured_points: Array,   # (N, 2)
+    weights: Array,           # (N,)
+    num_iterations: int,
+    kernel_threshold: Array,
+    damping: Array,
+    tolerance: Array,         # pass < 0 for the fixed-budget (no-exit) loop
+    keep_outliers: bool = False,
+    interpret: bool = False,
+    min_num_inliers: Array = 0.0,
+    min_iterations: int = 1,
+) -> Tuple[Array, PICPStats]:
+    """Whole planar PICP solve as one kernel (ops.picp_se2.solve_se2's
+    loop, est_SE2 branch). Same contract as :func:`solve_fused`."""
+    from ...ops import se3
+
+    n = world_points.shape[0]
+    n_pad = max(-(-n // 128) * 128, 128)
+    wp = jnp.pad(world_points, ((0, n_pad - n), (0, 0))).T
+    mp = jnp.pad(measured_points, ((0, n_pad - n), (0, 0))).T
+    w = jnp.pad(weights, (0, n_pad - n)).reshape(1, n_pad)
+    c44 = jnp.asarray(cam_in_robot, jnp.float32)
+
+    scal = jnp.concatenate(
+        [
+            cam_params.astype(jnp.float32),
+            jnp.stack(
+                [
+                    jnp.asarray(kernel_threshold, jnp.float32),
+                    jnp.asarray(1.0 if keep_outliers else 0.0, jnp.float32),
+                    jnp.asarray(damping, jnp.float32),
+                    jnp.asarray(tolerance, jnp.float32),
+                    jnp.asarray(min_num_inliers, jnp.float32),
+                ]
+            ),
+            camera_matrix.reshape(9).astype(jnp.float32),
+            world_in_camera[:3, :4].reshape(12).astype(jnp.float32),
+            c44[:3, :4].reshape(12),
+            se3.inverse(c44)[:3, :4].reshape(12),
+        ]
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_solve_se2_kernel, num_iterations, min_iterations),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((3, n_pad), lambda: (0, 0), memory_space=pltpu.VMEM),

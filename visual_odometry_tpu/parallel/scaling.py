@@ -212,6 +212,71 @@ def measure_sp_scaling(
     return rows
 
 
+def measure_lm_scaling(
+    devices: Sequence[jax.Device],
+    ns: Sequence[int],
+    frames: int = 48,
+    num_landmarks: int = 4096,
+    obs_per_lm: int = 6,
+    cg_iterations: int = 16,
+    reps: int = 2,
+) -> List[dict]:
+    """Strong-scaling rows for the landmark-sharded sparse Schur-CG BA.
+
+    One fixed corridor problem (utils/synthetic.generate_ba_corridor);
+    landmarks + their observations shard over an ``lm`` mesh axis of size
+    n (parallel/sparse_ba.make_sharded_sparse_ba_step). Per-device FLOP
+    partition is the transferable evidence (module docstring): landmarks
+    partition exactly, the only replicated work is the O(F) pose-space CG
+    vector algebra and the only collectives are O(F) psums per matvec —
+    partition_efficiency stays near 1 while N >> F * cg_iterations.
+    """
+    from ..utils import synthetic as syn
+    from . import sparse_ba as sba
+
+    k, problem, _ = syn.generate_ba_corridor(
+        f=frames, l=num_landmarks, obs_per_lm=obs_per_lm, seed=3
+    )
+    kj = jnp.asarray(k, jnp.float32)
+    fi = np.asarray(problem.frame_idx)
+    li = np.asarray(problem.lm_idx)
+    uv = np.asarray(problem.uv)
+    mask = np.asarray(problem.obs_mask)
+
+    rows = []
+    t1 = None
+    flops1 = None
+    for n in ns:
+        mesh = Mesh(np.asarray(devices[:n]), ("lm",))
+        fi_s, li_s, uv_s, mask_s, l_per = sba.partition_observations(
+            n, num_landmarks, fi, li, uv, mask
+        )
+        lms = np.zeros((n * l_per, 3), np.float32)
+        lms[:num_landmarks] = np.asarray(problem.landmarks)
+        sp = sba.SparseBAProblem(
+            poses=problem.poses,
+            landmarks=jnp.asarray(lms),
+            frame_idx=jnp.asarray(fi_s),
+            lm_idx=jnp.asarray(li_s),
+            uv=jnp.asarray(uv_s),
+            obs_mask=jnp.asarray(mask_s),
+        )
+        step = sba.make_sharded_sparse_ba_step(
+            mesh, damping=0.1, cg_iterations=cg_iterations
+        )
+        compiled = step.lower(kj, sp).compile()
+        flops = float(compiled.cost_analysis().get("flops", 0.0))
+        jax.block_until_ready(compiled(kj, sp))  # warm
+        t = _time_best(lambda: compiled(kj, sp)[0].poses, reps)
+        if t1 is None:
+            t1 = t
+            flops1 = flops
+        rows.append(
+            _row("scaling_lm_sparse_ba", n, t, t1, frames, flops, flops1)
+        )
+    return rows
+
+
 def _row(metric, n, t, t1, total_frames, flops, flops1):
     row = {
         "metric": metric,

@@ -682,6 +682,58 @@ def partition_observations(
     )
 
 
+def partition_observations_packed(
+    n_shards: int,
+    num_landmarks: int,
+    frame_idx: np.ndarray,
+    lm_idx: np.ndarray,
+    uv: np.ndarray,
+    obs_mask: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int, int]:
+    """Shard layout + fixed-degree lm-major packing in one host pass.
+
+    The sharded twin of :func:`pack_problem`: landmarks block-partition
+    over ``n_shards`` (l_per per shard) and each shard's observations land
+    in packed slots ``(local_lm * degree + rank)`` with a GLOBAL degree
+    (max per-landmark observation count), so inside every shard the
+    LM-side CG stages are reshape-reduces/broadcasts instead of the XLA
+    scatters that serialize on the TPU scalar core — the single-device
+    measurement was ~17x (``pack_problem`` docstring); per-shard the same
+    structure applies. Returns (frame_idx, local_lm_idx, uv, mask) in
+    shard-major order plus (l_per, degree); feed ``degree`` to
+    :func:`make_sharded_sparse_ba_step` as ``lm_degree``.
+    """
+    live = obs_mask.astype(bool)
+    l_per = -(-num_landmarks // n_shards)
+    counts = np.bincount(lm_idx[live], minlength=num_landmarks)
+    degree = max(int(counts.max()) if counts.size else 1, 1)
+    cap = l_per * degree
+    fi = np.zeros((n_shards, cap), np.int32)
+    li = np.tile(
+        np.repeat(np.arange(l_per, dtype=np.int32), degree)[None], (n_shards, 1)
+    )
+    uvs = np.zeros((n_shards, cap, 2), np.float32)
+    msk = np.zeros((n_shards, cap), bool)
+    order = np.argsort(lm_idx[live], kind="stable")
+    lm_sorted = lm_idx[live][order]
+    rank = np.arange(len(lm_sorted)) - np.searchsorted(
+        lm_sorted, lm_sorted, side="left"
+    )
+    shard = lm_sorted // l_per
+    slot = (lm_sorted - shard * l_per) * degree + rank
+    fi[shard, slot] = frame_idx[live][order]
+    uvs[shard, slot] = uv[live][order]
+    msk[shard, slot] = True
+    return (
+        fi.reshape(-1),
+        li.reshape(-1),
+        uvs.reshape(-1, 2),
+        msk.reshape(-1),
+        l_per,
+        degree,
+    )
+
+
 def make_sharded_sparse_ba_step(
     mesh: Mesh,
     damping: float = 1.0,
@@ -689,6 +741,7 @@ def make_sharded_sparse_ba_step(
     cg_iterations: int = 64,
     cg_tolerance: float = 1e-6,
     lm_axis: str = "lm",
+    lm_degree=None,
 ):
     """Build the jitted landmark-sharded sparse BA step.
 
@@ -696,7 +749,10 @@ def make_sharded_sparse_ba_step(
     (L_pad = shards * l_per from :func:`partition_observations`);
     observation arrays (N_pad,) sharded over ``lm_axis`` in the shard-major
     layout partition_observations produces (each shard's entries reference
-    ONLY its local landmarks, lm indices shard-local).
+    ONLY its local landmarks, lm indices shard-local). With ``lm_degree``
+    the observations must instead come from
+    :func:`partition_observations_packed` (per-shard fixed-degree lm-major
+    slots) — the scatter-free layout every shard's LM stages then use.
 
     Collectives per step: one psum of (F,6,6)+(F,6)+(F,6,6) at assembly and
     one (F, 6) psum per CG matvec — all O(F) over ICI.
@@ -712,6 +768,7 @@ def make_sharded_sparse_ba_step(
             camera_matrix, problem, damping=damping,
             kernel_threshold=kernel_threshold, cg_iterations=cg_iterations,
             cg_tolerance=cg_tolerance, psum_axis=lm_axis,
+            lm_degree=lm_degree,
         )
         return new_p.poses, new_p.landmarks, stats
 

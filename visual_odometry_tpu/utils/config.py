@@ -67,6 +67,17 @@ class VOConfig:
     # matching.PALLAS_MIN_DB rows (at per-frame slot counts auto stays on
     # the dense path, which is faster there).
     matcher_backend: str = "auto"
+    # Map-scale matcher precision (ops/matching.best_match; applies to the
+    # streaming Pallas backend only — relocalization and other
+    # whole-database queries). "highest" = exact f32 grams (6 MXU passes
+    # per f32 operand pair, bit-identical to the XLA matcher).
+    # "fast" = one bf16 MXU pass + exact f32 re-score of each winner:
+    # returned distances (and thus every radius-acceptance decision) stay
+    # exact for the selected index; selection itself can differ from
+    # "highest" only between candidates within bf16 rounding of each
+    # other (utils/selfcheck.check_matcher_fast guards the margin case).
+    # Frame-to-frame tracking association always runs exact.
+    matcher_precision: str = "highest"
 
     # --- estimation group (reference branch est_SE2, README.md:13) ---
     # planar=True constrains the per-frame solve to SE(2) increments acting
@@ -124,8 +135,9 @@ class VOConfig:
     # Frame-loop backend for run_sequence: "fused" = the entire per-frame
     # step (join + GN + triangulation + lookup scatter) as ONE Pallas kernel
     # with a sequential grid over frames (ops/pallas/frame_kernel), "xla" =
-    # lax.scan over frame_step, "auto" = fused on TPU (SE(3) only; the
-    # planar pipeline always scans).
+    # lax.scan over frame_step, "auto" = fused on TPU — for both the SE(3)
+    # and the planar (est_SE2) estimation groups; the planar kernel swaps
+    # the GN loop for picp_kernel.gn_loop_se2.
     scan_backend: str = "auto"
     # First-wins depth of the fused kernel's precomputed world-join chains
     # (ops/pallas/frame_kernel.join_candidates). Exact reference semantics

@@ -54,6 +54,16 @@ V5E = ChipSpec(
     hbm_bw=819e9,
 )
 
+# Same chip with the matmul peak at the native single-pass bf16 rate —
+# the right speed-of-light reference for kernels that run their MXU work
+# in one bf16 pass (the matcher's "fast" select+rescore mode).
+V5E_BF16 = ChipSpec(
+    name="tpu_v5e_bf16",
+    mxu_f32_flops=197e12,
+    vpu_ops=V5E.vpu_ops,
+    hbm_bw=V5E.hbm_bw,
+)
+
 
 @dataclasses.dataclass(frozen=True)
 class KernelModel:
@@ -154,6 +164,84 @@ def frame_model(frames: int, s: int, depth: int, rounds: int) -> KernelModel:
         mxu_flops=0.0,
         vpu_ops=frames * per_frame,
         hbm_bytes=frames * 4.0 * (5 + 3 * depth + 8) * s,
+    )
+
+
+def pipeline_floor_s(
+    frames: int,
+    s: int,
+    depth: int = 2,
+    gn_rounds: int = 3,
+    d_app: int = 10,
+    chip: ChipSpec = V5E,
+) -> float:
+    """Speed-of-light seconds for ONE tracking sequence (the vo_complete
+    program): the sum of each stage's own binding-resource floor — stages
+    are distinct sequential kernels, so the pipeline floor is additive.
+
+    Deliberate LOWER bound (every fraction reported against it is a lower
+    bound on true utilization): per consecutive frame pair one f32-HIGHEST
+    gram (2*S*S*128 MXU FLOPs) + ~8 VPU ops per (i, j) cell for the
+    in-kernel distance/arg reductions (matcher_kernel._pairs_kernel); the
+    join-candidate kernel's (S, S) equality + depth+1 masked mins
+    (~3*(depth+2) ops/cell); the fused frame kernel at ``gn_rounds``
+    GN rounds per frame (converged early-exit solves measure 2-4 rounds
+    on example_data — 3 keeps the floor below any real run); one
+    payload-carrying merge-stream fold over the F*S observation stream
+    (two sorts x (D+5) f32 columns, counted as one read + one write of
+    the full width each — real bitonic passes cost more).
+    """
+    pairs = max(frames - 1, 0)
+    t = 0.0
+    # matcher (both-direction pair kernel)
+    t += max(
+        pairs * 2.0 * s * s * 128 / chip.mxu_f32_flops,
+        pairs * 8.0 * s * s / chip.vpu_ops,
+        pairs * 2.0 * s * 128 * 4 / chip.hbm_bw,
+    )
+    # join candidates
+    t += pairs * 3.0 * (depth + 2) * s * s / chip.vpu_ops
+    # fused frame loop
+    fm = frame_model(pairs, s, depth, gn_rounds)
+    t += fm.speed_of_light_s(chip)
+    # map fold (two payload sorts over the stream)
+    stream = frames * s
+    t += 2.0 * 2.0 * stream * (d_app + 5) * 4.0 / chip.hbm_bw
+    return t
+
+
+def sparse_ba_model(n: int, f: int, l: int, cg_iters: int) -> KernelModel:
+    """One LM iteration of the packed sparse Schur-CG BA
+    (parallel/sparse_ba.sparse_ba_step with lm_degree set).
+
+    The step is HBM-bound: every stage streams (N, R) per-observation row
+    blocks. Byte counts are LOWER bounds — only operands that must cross
+    HBM at least once are counted, assuming XLA fuses every elementwise
+    chain (intermediates that a fusion keeps in registers are free, the
+    segment-sum reshape-reduce reads its input once):
+
+      * assembly (_build_reduced): per-obs inputs uv/idx/mask ~5N reads;
+        the four sqrt-weighted Jacobian row blocks written then re-read by
+        the outer products (2 * 18N); pose/landmark outer products
+        written+read through the segment sums (2 * 45N); the
+        preconditioner's coupling correction (w_n 18N written+read, y_n/
+        diag 2 * 54N) — ~220N floats, plus 2 * 9L for H_ll/its inverse.
+      * each CG matvec (_coupling_apply + the H_pp diagonal term): the row
+        blocks re-read (18N), the landmark-stage intermediates u/mn
+        (2 * 3N write+read), mask (N), h_ll_inv (9L) — ~31N + 9L floats.
+      * back-substitution: one more matvec-shaped pass (~31N + 9L).
+
+    VPU ops (FMA = 1): assembly ~320/obs (projection+Jacobians ~110,
+    outers 45+9, preconditioner correction ~150), matvec ~45/obs.
+    MXU: none — the 6-wide pose blocks are far below MXU shape, which is
+    why the formulation is lane-vector segment sums (module docstring).
+    """
+    floats = (220.0 * n + 18.0 * l) + (cg_iters + 1) * (31.0 * n + 9.0 * l)
+    return KernelModel(
+        name="sparse_ba",
+        mxu_flops=0.0,
+        vpu_ops=320.0 * n + (cg_iters + 1) * 45.0 * n,
+        hbm_bytes=4.0 * floats,
     )
 
 
@@ -278,6 +366,47 @@ def measure(seed: int = 0) -> Dict[str, float]:
     t = _steady_state_s(lambda: frame_j(tri0, ok, cand, pix, cvalid))
     out.update(frame_model(frames, s, depth, rounds_fr).report(t, chip))
     out["frame_us_per_frame"] = round(t / frames * 1e6, 2)
+    return out
+
+
+def measure_sparse_ba(
+    f: int = 512, l: int = 100_000, cg_iterations: int = 64
+) -> Dict[str, float]:
+    """Sparse-BA roofline fields at the production headline shape
+    (512 poses x 100k landmarks x ~590k observations, the
+    benchmarks/bench_sparse_ba problem): ms/LM-iteration at a FIXED CG
+    budget (tolerance 0 keeps the model's matvec count exact) against
+    :func:`sparse_ba_model`'s HBM-bytes speed of light."""
+    import jax.numpy as jnp
+
+    from ..parallel import sparse_ba as sba
+    from . import synthetic
+    from .timing import sync
+
+    k, problem, _ = synthetic.generate_ba_corridor(f=f, l=l)
+    kj = jnp.asarray(k)
+    packed, degree = sba.pack_problem(problem)
+
+    def step(p):
+        return sba._jitted_step(
+            kj, p, jnp.float32(1.0), jnp.float32(10000.0), cg_iterations,
+            jnp.float32(0.0), lm_degree=degree,
+        )[0]
+
+    p = step(packed)
+    sync(p.poses)  # compile + warm
+    reps = 3
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        q = p
+        for _ in range(reps):
+            q = step(q)
+        sync(q.poses)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    n_slots = int(packed.uv.shape[0])
+    out = sparse_ba_model(n_slots, f, l, cg_iterations).report(best, V5E)
+    out["sparse_ba_ms_per_iter"] = round(best * 1e3, 1)
     return out
 
 

@@ -103,6 +103,93 @@ def check_frame_pipeline(interpret: bool = False, seed: int = 1) -> Dict[str, fl
     return {"frame_traj_diff": d_traj, "map_size": float(n_f)}
 
 
+def check_picp_se2_solver(interpret: bool = False, seed: int = 4) -> Dict[str, float]:
+    """solve_se2_fused (conjugated-SE(2) kernel) vs ops.picp_se2.solve_se2."""
+    rng = np.random.default_rng(seed)
+    from ..ops import picp_se2, se3
+    from ..ops.pallas.picp_kernel import solve_se2_fused
+
+    world = synthetic.generate_points3d(rng, 192)
+    mount = np.array(
+        se3.v2t_euler(jnp.float32([0.1, -0.2, 0.05, 0.02, -0.01, 0.03]))
+    )
+    x_gt = np.array(
+        np.linalg.inv(mount)
+        @ np.array(se3.v2t_se2(jnp.float32([0.15, -0.08, 0.1])))
+        @ mount
+    )
+    cam = synthetic.default_camera(np.eye(4, dtype=np.float32))
+    meas, valid = project_points(synthetic.default_camera(x_gt), jnp.asarray(world))
+    w = valid.astype(jnp.float32)
+    cam_params = jnp.stack([cam.z_near, cam.z_far, cam.cols, cam.rows])
+
+    diffs = {}
+    for name, tol in (("fixed", 0.0), ("early_exit", 1e-12)):
+        solved, st = picp_se2.solve_se2(
+            cam, jnp.asarray(world), meas, w, 50,
+            kernel_threshold=10000.0, tolerance=tol, cam_in_robot=mount,
+        )
+        pose, st2 = solve_se2_fused(
+            cam.camera_matrix, cam.world_in_camera, cam_params,
+            jnp.asarray(mount), jnp.asarray(world), meas, w, 50,
+            jnp.float32(10000.0), jnp.float32(1.0),
+            jnp.float32(tol if tol > 0 else -1.0), interpret=interpret,
+        )
+        d = float(
+            np.abs(np.asarray(pose) - np.asarray(solved.world_in_camera)).max()
+        )
+        diffs[f"picp_se2_pose_diff_{name}"] = d
+        assert d < 5e-4, (name, d)
+        assert int(st.num_inliers) == int(st2.num_inliers), name
+    return diffs
+
+
+def check_frame_pipeline_planar(interpret: bool = False, seed: int = 5) -> Dict[str, float]:
+    """The PLANAR fused frame-loop (gn_loop_se2 in-kernel) vs the lax.scan
+    planar pipeline (est_SE2 parity), end to end with a non-trivial mount."""
+    rng = np.random.default_rng(seed)
+    n_slots, frames = 64, 10
+    pts, apps, masks = synthetic.generate_tracking_sequence(rng, frames, n_slots)
+    camera = synthetic.deep_camera()
+    from ..ops import se3
+
+    mount = np.array(
+        se3.v2t_euler(jnp.float32([0.05, -0.1, 0.02, 0.01, -0.02, 0.015]))
+    )
+    base = VOConfig(
+        n_slots=n_slots, map_capacity=128, gn_iterations=30
+    ).with_planar_mount(mount)
+    fused_backend = "fused_interpret" if interpret else "fused"
+
+    traj_x, map_x, _ = pipeline.run_sequence(
+        camera, base.replace(scan_backend="xla", solver_backend="xla"),
+        jnp.asarray(pts), jnp.asarray(apps), jnp.asarray(masks),
+    )
+    traj_f, map_f, _ = pipeline.run_sequence(
+        camera, base.replace(scan_backend=fused_backend),
+        jnp.asarray(pts), jnp.asarray(apps), jnp.asarray(masks),
+    )
+    traj_x, traj_f = np.asarray(traj_x), np.asarray(traj_f)
+    d_traj = float(np.abs(traj_x - traj_f).max())
+    n_x = int(np.asarray(map_x.valid).sum())
+    n_f = int(np.asarray(map_f.valid).sum())
+    assert np.isfinite(traj_f).all()
+    assert d_traj < 2e-3, d_traj
+    assert n_x == n_f, (n_x, n_f)
+    # Every fused pose must stay exactly in the conjugated SE(2) subgroup:
+    # c X c^-1 has no z-translation and a pure z-rotation block.
+    conj = np.einsum(
+        "ij,fjk,kl->fil", mount, traj_f, np.linalg.inv(mount)
+    )
+    planar_dev = max(
+        float(np.abs(conj[:, 2, 3]).max()),
+        float(np.abs(conj[:, 2, 0:2]).max()),
+        float(np.abs(conj[:, 0:2, 2]).max()),
+    )
+    assert planar_dev < 1e-4, planar_dev
+    return {"frame_planar_traj_diff": d_traj, "planar_subgroup_dev": planar_dev}
+
+
 def check_matcher(interpret: bool = False, seed: int = 2) -> Dict[str, float]:
     """Streaming matcher kernel vs dense XLA matcher: exact equality."""
     rng = np.random.default_rng(seed)
@@ -125,6 +212,48 @@ def check_matcher(interpret: bool = False, seed: int = 2) -> Dict[str, float]:
     assert idx_equal
     assert d_diff == 0.0, d_diff
     return {"matcher_dist_diff": d_diff}
+
+
+def check_matcher_fast(interpret: bool = False, seed: int = 6) -> Dict[str, float]:
+    """The fast (bf16-select + exact-f32-rescore) matcher mode's contract:
+
+      1. on margin-separated data (nearest-vs-second-nearest gaps far
+         above bf16 rounding — the regime of real appearance keys, which
+         are exact-match identities) selection equals the exact matcher's;
+      2. every returned distance is the EXACT f32 distance of the returned
+         index (the rescore guarantee that keeps radius decisions exact),
+         verified against a host recompute.
+    """
+    rng = np.random.default_rng(seed)
+    k, q_n, d = 4096, 256, 10
+    db = rng.uniform(-1, 1, (k, d)).astype(np.float32)
+    q = db[rng.integers(0, k, q_n)].copy()
+    q += rng.normal(0, 0.005, q.shape).astype(np.float32)  # near-dup winner
+    db_mask = np.ones(k, bool)
+    db_mask[::7] = False
+    q_mask = np.ones(q_n, bool)
+
+    d_x, i_x = matching.best_match(
+        jnp.asarray(q), jnp.asarray(q_mask), jnp.asarray(db),
+        jnp.asarray(db_mask), backend="xla",
+    )
+    d_f, i_f = matching.best_match(
+        jnp.asarray(q), jnp.asarray(q_mask), jnp.asarray(db),
+        jnp.asarray(db_mask), backend="pallas", interpret=interpret,
+        precision="fast",
+    )
+    i_x, i_f = np.asarray(i_x), np.asarray(i_f)
+    d_f = np.asarray(d_f)
+    # Margin separation: the planted winner is ~1e-4 away, the next-best
+    # random row ~O(1) — selection must agree exactly here.
+    assert (i_x == i_f).all(), int((i_x != i_f).sum())
+    # Rescore exactness: fast distances == f32 recompute at the index
+    # (up to reduction-order ulps over the D=10 sum).
+    diff = q - db[i_f]
+    exact = np.sum(diff * diff, axis=1, dtype=np.float32)
+    d_err = float(np.abs(d_f - exact).max())
+    assert d_err < 1e-6, d_err
+    return {"matcher_fast_rescore_err": d_err}
 
 
 def check_pair_matcher(interpret: bool = False, seed: int = 3) -> Dict[str, float]:
@@ -165,7 +294,10 @@ def run_all(interpret: bool | None = None) -> Dict[str, float]:
         interpret = jax.default_backend() != "tpu"
     out = {}
     out.update(check_picp_solver(interpret))
+    out.update(check_picp_se2_solver(interpret))
     out.update(check_frame_pipeline(interpret))
+    out.update(check_frame_pipeline_planar(interpret))
     out.update(check_matcher(interpret))
+    out.update(check_matcher_fast(interpret))
     out.update(check_pair_matcher(interpret))
     return out

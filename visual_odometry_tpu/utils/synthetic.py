@@ -157,3 +157,85 @@ def two_view_scene(
         corr_valid,
         x_1_in_2.astype(np.float32),
     )
+
+
+def generate_ba_corridor(
+    f: int = 512,
+    l: int = 100_000,
+    obs_per_lm: int = 6,
+    seed: int = 0,
+    noise_lm: float = 0.02,
+    noise_pose: float = 0.01,
+):
+    """Production-scale sparse-BA corridor problem (shared by
+    benchmarks/bench_sparse_ba, utils/roofline and parallel/scaling).
+
+    Cameras advance along +z at 0.2/frame; landmark i becomes visible
+    around camera ``i * f / l`` and is observed by the next ``obs_per_lm``
+    cameras, giving N ~ f-independent ``l * obs_per_lm`` observations —
+    the observation structure of a real forward-moving VO sequence. The
+    returned problem carries landmark/pose noise so a BA step performs
+    genuine correction work. Returns (camera_matrix (3, 3) np.float32,
+    SparseBAProblem, live observation count).
+    """
+    import jax.numpy as jnp
+
+    from ..ops import se3
+    from ..parallel import sparse_ba as sba
+
+    rng = np.random.default_rng(seed)
+    world = np.stack(
+        [
+            rng.uniform(-2.0, 2.0, l),
+            rng.uniform(-1.5, 1.5, l),
+            rng.uniform(0.0, 0.2 * f, l),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    vs = np.zeros((f, 6), np.float32)
+    vs[:, 2] = 0.2 * np.arange(f)  # t_z
+    poses = np.asarray(
+        np.stack([np.array(se3.v2t_euler(jnp.asarray(-v))) for v in vs])
+    )
+
+    # Cameras look +z from z = 0.2*i: observe each landmark from the
+    # obs_per_lm cameras ~1-2.2 units BEFORE it (all depths positive).
+    first = np.clip(
+        (world[:, 2] / 0.2).astype(np.int64) - obs_per_lm - 5, 0, f - obs_per_lm
+    )
+    lm_idx = np.repeat(np.arange(l, dtype=np.int64), obs_per_lm)
+    frame_idx = (
+        np.repeat(first, obs_per_lm)
+        + np.tile(np.arange(obs_per_lm), l)
+    ).astype(np.int64)
+
+    k = np.array(
+        [[180.0, 0.0, 320.0], [0.0, 180.0, 240.0], [0.0, 0.0, 1.0]],
+        np.float32,
+    )
+    pw = world[lm_idx]
+    rp = poses[frame_idx]
+    pc = np.einsum("nij,nj->ni", rp[:, :3, :3], pw) + rp[:, :3, 3]
+    depth_ok = pc[:, 2] > 0.1
+    uv = (pc @ k.T)
+    uv = uv[:, :2] / np.maximum(uv[:, 2:], 1e-6)
+    in_img = (
+        (uv[:, 0] >= 0) & (uv[:, 0] < 640) & (uv[:, 1] >= 0) & (uv[:, 1] < 480)
+    )
+    mask = depth_ok & in_img
+
+    noisy_lms = world + rng.normal(0, noise_lm, world.shape).astype(np.float32)
+    noisy_poses = poses.copy()
+    for i in range(1, f):
+        dv = rng.uniform(-noise_pose, noise_pose, 6).astype(np.float32)
+        noisy_poses[i] = np.array(se3.v2t_euler(jnp.asarray(dv))) @ noisy_poses[i]
+
+    problem = sba.SparseBAProblem(
+        poses=jnp.asarray(noisy_poses),
+        landmarks=jnp.asarray(noisy_lms),
+        frame_idx=jnp.asarray(frame_idx.astype(np.int32)),
+        lm_idx=jnp.asarray(lm_idx.astype(np.int32)),
+        uv=jnp.asarray(uv.astype(np.float32)),
+        obs_mask=jnp.asarray(mask),
+    )
+    return k, problem, int(mask.sum())
