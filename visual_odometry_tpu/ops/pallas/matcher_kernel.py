@@ -32,7 +32,7 @@ _BIG = 3.4e38
 LANE = 128
 
 
-def _make_kernel(precision):
+def _make_kernel(precision, bf16_select):
     def _kernel(q_ref, qn_ref, db_ref, dbn_ref, dist_ref, idx_ref, acc_d, acc_i):
         j = pl.program_id(1)
         nk = pl.num_programs(1)
@@ -43,28 +43,76 @@ def _make_kernel(precision):
             acc_d[:, :] = jnp.full_like(acc_d, _BIG)
             acc_i[:, :] = jnp.zeros_like(acc_i)
 
-        # d[q, k] = ||q||^2 + ||k||^2 - 2 q.k  (gram on the MXU)
-        gram = jax.lax.dot_general(
-            q_ref[:, :],
-            db_ref[:, :],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-        d = qn_ref[:, :] + dbn_ref[:, :].reshape(1, tk) - 2.0 * gram  # (TQ, TK)
+        if bf16_select:
+            # Fast-select mode: the (TQ, TK) selection epilogue is the
+            # matcher's real cost (measured: time is invariant in tk — so
+            # not grid sequencing — and a bf16 gram removes 6x of MXU time
+            # but only ~40% of wall: ~1.1 ms of VPU work over the distance
+            # tile remains at Q=1024 x K=131072). The epilogue here is ONE
+            # i32 min-reduction over a PACKED key: clamped-non-negative
+            # f32 bit patterns are monotonic in value, so stealing the low
+            # log2(tk) mantissa bits for the column index yields value AND
+            # first-argmin (ties on the truncated distance -> smallest
+            # column) from a single reduce — no compare/select/second-
+            # reduce passes. Selection precision is 23-log2(tk) mantissa
+            # bits (12 at tk=2048 — finer than bf16's 7); the caller's
+            # exact f32 rescore makes every returned distance, and thus
+            # every radius decision, exact for the selected index.
+            # ||q||^2 must STAY in the selection: the bit-pattern trick
+            # needs non-negative values, and clamping dbn - 2 q.db (which
+            # is negative whenever 2 q.db > ||db||^2) would collapse the
+            # ordering below zero.
+            gram = jax.lax.dot_general(
+                q_ref[:, :],
+                db_ref[:, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,  # MXU acc must be 32-bit
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            idx_bits = max((tk - 1).bit_length(), 1)
+            idx_mask = jnp.int32((1 << idx_bits) - 1)
+            d = jnp.maximum(
+                qn_ref[:, :] + dbn_ref[:, :].reshape(1, tk) - 2.0 * gram,
+                0.0,
+            )
+            col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+            key = (
+                jax.lax.bitcast_convert_type(d, jnp.int32) & ~idx_mask
+            ) | col
+            kmin = jnp.min(key, axis=1, keepdims=True)        # (TQ, 1)
+            tile_idx = (kmin & idx_mask) + j * tk
+            tmin = jax.lax.bitcast_convert_type(
+                kmin & ~idx_mask, jnp.float32
+            )
+            better = tmin < acc_d[:, :]
+            acc_i[:, :] = jnp.where(better, tile_idx, acc_i[:, :])
+            acc_d[:, :] = jnp.where(better, tmin, acc_d[:, :])
+        else:
+            # d[q, k] = ||q||^2 + ||k||^2 - 2 q.k  (gram on the MXU) —
+            # the exact expression, in the exact order, of the XLA
+            # matcher (bitwise-identical distances and tie-breaks).
+            gram = jax.lax.dot_general(
+                q_ref[:, :],
+                db_ref[:, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            d = qn_ref[:, :] + dbn_ref[:, :].reshape(1, tk) - 2.0 * gram
 
-        tile_min = jnp.min(d, axis=1, keepdims=True)                  # (TQ, 1)
-        # First-argmin without lax.argmin (not lowerable on all Mosaic
-        # versions): smallest column index achieving the tile minimum.
-        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-        tile_arg = jnp.min(
-            jnp.where(d <= tile_min, col, jnp.int32(2**30)), axis=1, keepdims=True
-        )
-        tile_idx = tile_arg + j * tk
+            tile_min = jnp.min(d, axis=1, keepdims=True)              # (TQ, 1)
+            # First-argmin without lax.argmin (not lowerable on all Mosaic
+            # versions): smallest column index achieving the tile minimum.
+            col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+            tile_arg = jnp.min(
+                jnp.where(d <= tile_min, col, jnp.int32(2**30)),
+                axis=1, keepdims=True,
+            )
+            tile_idx = tile_arg + j * tk
 
-        better = tile_min < acc_d[:, :]
-        acc_i[:, :] = jnp.where(better, tile_idx.astype(jnp.int32), acc_i[:, :])
-        acc_d[:, :] = jnp.where(better, tile_min, acc_d[:, :])
+            better = tile_min < acc_d[:, :]
+            acc_i[:, :] = jnp.where(better, tile_idx.astype(jnp.int32), acc_i[:, :])
+            acc_d[:, :] = jnp.where(better, tile_min, acc_d[:, :])
 
         @pl.when(j == nk - 1)
         def _():
@@ -119,13 +167,13 @@ def best_match_pallas(
         # ~8 ms f32-highest MXU floor.
         tq = min(1024, -(-q // LANE) * LANE)
     if tk <= 0:
-        # Grid-step sequencing (~25 us per Mosaic step) is the matcher's
-        # other half at big K: 64 steps at K=131072/tk=2048 cost ~1.6 ms
-        # against a ~1.05 ms f32-highest MXU floor (matcher_mfu plateaued
-        # at ~0.50, BENCH_r04). Deepen the database tile once K pays for
-        # it — the (tq, tk) distance transient plus the double-buffered db
-        # block stay within ~50 MB of VMEM at tq=1024/tk=8192.
-        tk = 2048 if k <= 32768 else 8192
+        # Measured (Q=1024, K=131072, r5): wall time is essentially flat
+        # in tk for the exact path (2.12/2.14/2.32 ms at 2048/4096/8192 —
+        # the cost scales with CELLS, i.e. the VPU selection epilogue, not
+        # with Mosaic grid steps), and the fast packed-key path is
+        # fastest at 2048 (1.04 vs 1.44 ms at 8192: fewer stolen index
+        # bits, smaller VMEM transient). 2048 everywhere.
+        tk = 2048
     q_pad = -(-q // tq) * tq
     k_pad = -(-k // tk) * tk
 
@@ -140,8 +188,9 @@ def best_match_pallas(
     dbn = jnp.where(dbm[:, None], dbn, _BIG)
 
     grid = (q_pad // tq, k_pad // tk)
+    bf16_sel = exact_rescore and precision != "highest"
     dist, idx = pl.pallas_call(
-        _make_kernel(precision),
+        _make_kernel(precision, bf16_sel),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tq, qp.shape[1]), lambda i, j: (i, 0), memory_space=pltpu.VMEM),

@@ -215,14 +215,20 @@ def check_matcher(interpret: bool = False, seed: int = 2) -> Dict[str, float]:
 
 
 def check_matcher_fast(interpret: bool = False, seed: int = 6) -> Dict[str, float]:
-    """The fast (bf16-select + exact-f32-rescore) matcher mode's contract:
+    """The fast (reduced-precision-select + exact-f32-rescore) matcher
+    mode's contract (ops/matching.best_match precision="fast"):
 
-      1. on margin-separated data (nearest-vs-second-nearest gaps far
-         above bf16 rounding — the regime of real appearance keys, which
-         are exact-match identities) selection equals the exact matcher's;
-      2. every returned distance is the EXACT f32 distance of the returned
-         index (the rescore guarantee that keeps radius decisions exact),
-         verified against a host recompute.
+      1. selection equals the exact matcher's wherever the nearest-vs-
+         second-nearest RELATIVE margin exceeds the documented selection
+         precision (~2^-9; the packed-key select truncates 11-13 mantissa
+         bits and the bf16 gram rounds its inputs). The margin set is
+         computed from an exact host top-2;
+      2. on the sub-margin near-ties where selection may differ, the
+         chosen candidate's EXACT distance exceeds the optimum by at most
+         the same relative tolerance (never a wrong-by-a-margin pick);
+      3. every returned distance is the EXACT f32 distance of the
+         returned index (the rescore guarantee that keeps radius
+         decisions exact), verified against a host recompute.
     """
     rng = np.random.default_rng(seed)
     k, q_n, d = 4096, 256, 10
@@ -244,16 +250,32 @@ def check_matcher_fast(interpret: bool = False, seed: int = 6) -> Dict[str, floa
     )
     i_x, i_f = np.asarray(i_x), np.asarray(i_f)
     d_f = np.asarray(d_f)
-    # Margin separation: the planted winner is ~1e-4 away, the next-best
-    # random row ~O(1) — selection must agree exactly here.
-    assert (i_x == i_f).all(), int((i_x != i_f).sum())
+    tol = 2.0 ** -9
+
+    # Exact top-2 on the host.
+    dist = ((q[:, None, :] - db[None, :, :]) ** 2).sum(-1)
+    dist[:, ~db_mask] = np.inf
+    top2 = np.partition(dist, 1, axis=1)[:, :2]
+    margin = (top2[:, 1] - top2[:, 0]) / np.maximum(top2[:, 0], 1e-12)
+
+    separated = margin > tol
+    agree = i_x == i_f
+    n_sep_mismatch = int((~agree & separated).sum())
+    assert n_sep_mismatch == 0, n_sep_mismatch
+    # Near-ties: the pick must be within tolerance of optimal (exactly).
+    exact_pick = np.take_along_axis(dist, i_f[:, None], axis=1)[:, 0]
+    excess = (exact_pick - top2[:, 0]) / np.maximum(top2[:, 0], 1e-12)
+    assert float(excess.max()) <= tol, float(excess.max())
     # Rescore exactness: fast distances == f32 recompute at the index
     # (up to reduction-order ulps over the D=10 sum).
     diff = q - db[i_f]
     exact = np.sum(diff * diff, axis=1, dtype=np.float32)
     d_err = float(np.abs(d_f - exact).max())
     assert d_err < 1e-6, d_err
-    return {"matcher_fast_rescore_err": d_err}
+    return {
+        "matcher_fast_rescore_err": d_err,
+        "matcher_fast_tie_picks": float((~agree).sum()),
+    }
 
 
 def check_pair_matcher(interpret: bool = False, seed: int = 3) -> Dict[str, float]:
