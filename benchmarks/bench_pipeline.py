@@ -29,7 +29,6 @@ def main(small: bool = False) -> None:
     import jax.numpy as jnp
 
     import visual_odometry_tpu  # noqa: F401
-    from visual_odometry_tpu import apps
     from visual_odometry_tpu.ops.camera import Camera
     from visual_odometry_tpu.parallel import multiseq
     from visual_odometry_tpu.utils import io, roofline
@@ -37,24 +36,7 @@ def main(small: bool = False) -> None:
     from visual_odometry_tpu.utils.timing import sync
 
     data = "/root/reference/example_data/data"
-    reps = 3 if small else 10
 
-    # Single sequence (the bench.py headline protocol's app form).
-    apps.run_vo_complete(data, "/tmp/vo_bench_out", verbose=False)
-    best = min(
-        apps.run_vo_complete(data, "/tmp/vo_bench_out", verbose=False)[3]
-        for _ in range(reps)
-    )
-    single_fps = 121 / best
-    print(json.dumps({
-        "metric": "pipeline_single_sequence",
-        "value": round(single_fps, 1),
-        "unit": "frames/s",
-    }))
-
-    # Batched serving sweep: B identical-shape sequences in flight; the
-    # queue-depth protocol of bench.py (several batched programs queued,
-    # sync once) so per-call tunnel latency overlaps.
     params = io.load_camera_params(f"{data}/camera.dat")
     camera = Camera.create(
         params.camera_matrix, rows=params.height, cols=params.width,
@@ -63,6 +45,31 @@ def main(small: bool = False) -> None:
     seq = io.load_sequence(data, 128)
     cfg = VOConfig()
     f_total = int(seq.mask.shape[0])
+
+    # Single sequence under the SAME device protocol as the batched rows
+    # (and bench.py's headline): queued device-resident programs, sync
+    # once — so scaling_vs_single is device-vs-device, not app wall time.
+    from visual_odometry_tpu.models import pipeline as pl_mod
+
+    pj = jnp.asarray(seq.points)
+    aj = jnp.asarray(seq.appearances)
+    mj = jnp.asarray(seq.mask)
+    sync(pl_mod.run_sequence(camera, cfg, pj, aj, mj)[0])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rs = [
+            pl_mod.run_sequence(camera, cfg, pj, aj, mj, validate=False)[0]
+            for _ in range(30)
+        ]
+        sync(rs)
+        best = min(best, (time.perf_counter() - t0) / 30)
+    single_fps = f_total / best
+    print(json.dumps({
+        "metric": "pipeline_single_sequence",
+        "value": round(single_fps, 1),
+        "unit": "frames/s",
+    }))
     floor1 = roofline.pipeline_floor_s(f_total, 128)
     best_row = None
     for b in ([2] if small else [4, 16, 32, 64]):
