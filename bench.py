@@ -32,6 +32,16 @@ median, and spread so a degraded capture is visible instead of silently
 published. A `suspect` flag marks the impossible direction (beating the
 analytic pipeline floor).
 
+Dispatch-overhead decomposition (r5). Every dispatched program on this
+host path pays a fixed ~0.9 ms (a trivial jitted x+1 measures 897 us at
+queue depth 30 — the tunnel serializes it per call, queueing does not
+hide it). The per-call protocol above therefore over-counts the
+pipeline's device time by that constant; ``fps_chained`` re-measures
+with 8 whole tracking programs chained inside ONE dispatched program
+(data-dependent lax.scan), amortizing the constant to ~1/8 — that is
+the chip's true steady-state single-sequence throughput. ``value``
+stays the per-call protocol for round-to-round comparability.
+
 Guards (run once, in the first subprocess): every Pallas kernel is
 compared against its XLA twin compiled on THIS chip
 (utils/selfcheck.run_all), and the end-to-end accuracy must beat the
@@ -109,6 +119,39 @@ def _measure(full: bool) -> int:
     best = min(rounds)
     out["fps"] = round(n_frames / best, 1)
     out["round_ms"] = [round(r * 1e3, 3) for r in rounds]
+
+    # Chained protocol: CHAIN_G whole tracking programs executed
+    # back-to-back inside ONE dispatched program (lax.scan with a ~1e-30
+    # data dependency between iterations). Each dispatched call pays a
+    # fixed ~0.9 ms host-path cost under the tunnel (measured r5:
+    # a trivial jitted x+1 costs 897 us at queue depth 30 — see
+    # utils/roofline.dispatch_overhead_s), which the per-call protocol
+    # above cannot amortize below REPS-deep queueing; chaining in-program
+    # divides it by CHAIN_G and reports the pipeline's true steady-state
+    # device throughput.
+    import jax.numpy as jnp
+
+    chain_g = 8
+
+    @jax.jit
+    def chained(eps):
+        def body(c, _):
+            traj, _m, _o = pipeline.run_sequence(
+                camera, DEFAULT_CONFIG, pts + c, apps_a, mask, validate=False
+            )
+            return jnp.sum(traj) * 1e-30, None
+
+        return jax.lax.scan(body, eps, None, length=chain_g)[0]
+
+    zero = jnp.float32(0.0)
+    sync(chained(zero))
+    cbest = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rs = [chained(zero) for _ in range(10)]
+        sync(rs)
+        cbest = min(cbest, (time.perf_counter() - t0) / 10)
+    out["fps_chained"] = round(chain_g * n_frames / cbest, 1)
 
     if full:
         # Guard 1: compiled-kernel correctness on THIS chip.
@@ -221,7 +264,10 @@ def main() -> int:
             continue
         results.append(child)
         if i == 0:
-            extras = {k: v for k, v in child.items() if k not in ("fps", "round_ms")}
+            extras = {
+                k: v for k, v in child.items()
+                if k not in ("fps", "round_ms", "fps_chained")
+            }
 
     fps_vals = sorted(c["fps"] for c in results if "fps" in c)
     if error is not None or not fps_vals:
@@ -245,6 +291,11 @@ def main() -> int:
         "fps_min_process": fps_vals[0],
         "process_spread": round(1.0 - fps_vals[0] / fps_vals[-1], 3),
     }
+    chained_vals = [c["fps_chained"] for c in results if c.get("fps_chained")]
+    if chained_vals:
+        # Best process, like the per-call headline: the in-program chained
+        # protocol (see _measure) amortizes the fixed per-dispatch cost.
+        out["fps_chained"] = max(chained_vals)
     # Physics sanity: a capture that beats the analytic additive stage
     # floor is a broken measurement, not a fast chip.
     try:

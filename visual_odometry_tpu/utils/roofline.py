@@ -268,6 +268,65 @@ def _steady_state_s(fn, reps: int = 30, rounds: int = 3) -> float:
     return best
 
 
+def dispatch_overhead_s(reps: int = 30, rounds: int = 3) -> float:
+    """Fixed per-dispatch cost of ONE program execution on this host/device
+    path: the steady-state time of a trivial jitted ``x + 1`` on an (8, 128)
+    block. Measured ~0.9 ms under the axon tunnel (r5) — and it does NOT
+    overlap across queued calls, so every per-call kernel timing sits on
+    this floor. A kernel's own time is what :func:`_steady_state_chained_s`
+    reports; this number is published alongside so the decomposition
+    (program time vs host-path dispatch) is visible in the bench JSON."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((8, 128), jnp.float32)
+    f = jax.jit(lambda v: v + 1.0)
+    return _steady_state_s(lambda: f(x), reps=reps, rounds=rounds)
+
+
+def _steady_state_chained_s(
+    step_fn, g: int = 16, reps: int = 6, rounds: int = 3
+) -> float:
+    """Per-invocation seconds with ``g`` invocations chained inside ONE
+    dispatched program (a ``lax.scan`` whose carry perturbs the next step's
+    input by ~1e-30x an output scalar, so steps stay data-dependent and
+    cannot be CSE'd away).
+
+    Why: the per-dispatch overhead (:func:`dispatch_overhead_s`, ~0.9 ms
+    under the tunnel) is serialized per call — measured r5: a trivial jit
+    call costs 897 us at queue depth 30, and the exact matcher reads
+    1.94 ms per single call but 1.23 ms per invocation when 16 are chained
+    in-program. Production programs (whole-sequence trackers, batched
+    serving) amortize dispatch over milliseconds of device work exactly
+    like the chain does, so the chained number is the kernel's true
+    steady-state device time; the per-call number is published alongside
+    as ``*_call_us``. The g-th of the overhead still included here keeps
+    the estimate conservative (no subtraction)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .timing import sync
+
+    @jax.jit
+    def run(eps):
+        def body(c, _):
+            out = step_fn(c)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return leaf.reshape(-1)[0].astype(jnp.float32) * 1e-30, None
+
+        return jax.lax.scan(body, eps, None, length=g)[0]
+
+    z = jnp.float32(0.0)
+    sync(run(z))
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        rs = [run(z) for _ in range(reps)]
+        sync(rs)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best / g
+
+
 def measure(seed: int = 0) -> Dict[str, float]:
     """Time the three hot kernels at production shapes on the current
     device and report achieved-vs-peak utilization for each.
@@ -276,6 +335,15 @@ def measure(seed: int = 0) -> Dict[str, float]:
     N=1024 x 100 fixed rounds, frame loop S=1024 x 10 fixed rounds x 128
     frames. Fixed GN budgets (tolerance < 0) make the analytic op model
     exact — the early-exit production path can only do LESS work.
+
+    Each kernel is timed two ways: per single dispatched call
+    (``*_call_us`` — includes the fixed host-path dispatch overhead,
+    ``dispatch_overhead_us``) and amortized over 16 invocations chained
+    inside one program (``*_time_us`` — the kernel's true steady-state
+    device time; see :func:`_steady_state_chained_s`). Roofline/MFU
+    fractions use the chained time: they describe the KERNEL, and the
+    ~0.9 ms dispatch constant under the tunnel is a property of the host
+    path that production whole-sequence/batched programs amortize away.
     """
     import jax
     import jax.numpy as jnp
@@ -287,6 +355,7 @@ def measure(seed: int = 0) -> Dict[str, float]:
     rng = np.random.default_rng(seed)
     chip = V5E
     out: Dict[str, float] = {"chip": chip.name}  # type: ignore[dict-item]
+    out["dispatch_overhead_us"] = round(dispatch_overhead_s() * 1e6, 1)
 
     # Every measured callable is wrapped in ONE jit: called eagerly, the
     # host-side packing ops around a kernel dispatch one device op at a
@@ -307,8 +376,14 @@ def measure(seed: int = 0) -> Dict[str, float]:
     match_j = jax.jit(
         lambda q: matching.best_match(q, q_mask, db, db_mask, backend="pallas")
     )
-    t = _steady_state_s(lambda: match_j(qs))
+    t_call = _steady_state_s(lambda: match_j(qs), reps=15)
+    t = _steady_state_chained_s(
+        lambda eps: matching.best_match(
+            qs + eps, q_mask, db, db_mask, backend="pallas"
+        )
+    )
     out.update(matcher_model(q_n, k_n).report(t, chip))
+    out["matcher_call_us"] = round(t_call * 1e6, 2)
     assert out["matcher_mfu"] <= 1.0, out  # a >1 "mfu" is a broken timer
 
     # 2. whole-GN-loop PICP solve, fixed budget.
@@ -321,16 +396,21 @@ def measure(seed: int = 0) -> Dict[str, float]:
     meas, valid = project_points(synthetic.default_camera(x_gt), jnp.asarray(world))
     w = valid.astype(jnp.float32)
     cam_params = jnp.stack([cam.z_near, cam.z_far, cam.cols, cam.rows])
-    picp_j = jax.jit(
-        lambda wp, mp, ww: picp_kernel.solve_fused(
+
+    def picp_step(eps):
+        return picp_kernel.solve_fused(
             cam.camera_matrix, cam.world_in_camera, cam_params,
-            wp, mp, ww, rounds_gn,
+            wp_j + eps, meas, w, rounds_gn,
             jnp.float32(10000.0), jnp.float32(1.0), jnp.float32(-1.0),
         )
-    )
+
+    picp_j = jax.jit(picp_step)
     wp_j = jnp.asarray(world)
-    t = _steady_state_s(lambda: picp_j(wp_j, meas, w))
+    zero = jnp.float32(0.0)
+    t_call = _steady_state_s(lambda: picp_j(zero), reps=15)
+    t = _steady_state_chained_s(picp_step)
     out.update(picp_model(n, rounds_gn).report(t, chip))
+    out["picp_call_us"] = round(t_call * 1e6, 2)
 
     # 3. fused frame loop, fixed budget.
     frames, s, depth, rounds_fr = 128, 1024, 2, 10
@@ -355,16 +435,19 @@ def measure(seed: int = 0) -> Dict[str, float]:
     cvalid = jnp.broadcast_to(ok, (frames, s))
     tri0 = jnp.asarray(world)
 
-    frame_j = jax.jit(
-        lambda t0, o0, cd, px, cv: frame_kernel.track_frames_fused(
+    def frame_step(eps):
+        return frame_kernel.track_frames_fused(
             cam.camera_matrix, cam_params, jnp.eye(4, dtype=jnp.float32),
-            t0, o0, cd, px, px, cv,
+            tri0 + eps, ok, cand, pix, pix, cvalid,
             rounds_fr, jnp.float32(10000.0), jnp.float32(1.0),
             jnp.float32(-1.0),
         )
-    )
-    t = _steady_state_s(lambda: frame_j(tri0, ok, cand, pix, cvalid))
+
+    frame_j = jax.jit(frame_step)
+    t_call = _steady_state_s(lambda: frame_j(zero), reps=15)
+    t = _steady_state_chained_s(frame_step, g=8, reps=4)
     out.update(frame_model(frames, s, depth, rounds_fr).report(t, chip))
+    out["frame_call_us"] = round(t_call * 1e6, 2)
     out["frame_us_per_frame"] = round(t / frames * 1e6, 2)
     return out
 
