@@ -46,6 +46,41 @@ def test_batched_equals_sequential(small_batch):
         )
 
 
+def test_serving_sublane_equals_vmap(small_batch):
+    """The sublane serving backend vs the vmap backend on real data.
+
+    Interpret mode re-associates the batched lane reductions (see
+    utils/selfcheck.check_frame_serving — compiled on TPU the two are
+    bitwise equal), so this asserts the fused-vs-scan style tolerance
+    plus exact map structure."""
+    camera, pts, apps, mask = small_batch
+    cfg = VOConfig(gn_iterations=20, scan_backend="fused_interpret")
+    traj_s, maps_s, outs_s = multiseq.run_sequences_batched(
+        camera, cfg, jnp.asarray(pts), jnp.asarray(apps), jnp.asarray(mask),
+        backend="sublane", inner_batch=2, interpret=True,
+    )
+    traj_v, maps_v, _ = multiseq.run_sequences_batched(
+        camera, cfg, jnp.asarray(pts), jnp.asarray(apps), jnp.asarray(mask),
+        backend="vmap",
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_s)[:, :, :3, 3], np.asarray(traj_v)[:, :, :3, 3],
+        atol=2e-3,
+    )
+    for b in range(2):
+        assert int(np.asarray(maps_s.valid)[b].sum()) == int(
+            np.asarray(maps_v.valid)[b].sum()
+        )
+    assert outs_s.pose.shape[0] == 2
+
+
+def test_serving_inner_divisor():
+    assert multiseq._serving_inner(32, 8) == 8
+    assert multiseq._serving_inner(12, 8) == 6
+    assert multiseq._serving_inner(7, 8) == 7
+    assert multiseq._serving_inner(5, 4) == 1
+
+
 def test_sharded_over_dp_mesh(small_batch):
     if len(jax.devices()) < 2:
         pytest.skip("needs multiple devices")

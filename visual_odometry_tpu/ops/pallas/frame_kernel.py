@@ -65,7 +65,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .picp_kernel import _mat3mul, _mat3vec, _transpose3, gn_loop, gn_loop_se2
+from .picp_kernel import (
+    _mat3mul, _mat3vec, _transpose3, gn_loop, gn_loop_batched, gn_loop_se2,
+)
 
 Array = jnp.ndarray
 
@@ -591,6 +593,338 @@ def _fused_fn(num_iterations, min_iterations, depth, keep_outliers, warm_start,
         return outs, jax.tree.map(lambda _: True, outs)
 
     return fn
+
+
+def _kernel_serving(
+    num_iterations,
+    min_iterations,
+    depth,
+    block_frames,
+    scal_ref,       # SMEM (28,): cam params + knobs + K + iK (shared)
+    x0_ref,         # VMEM (12, B, 1): per-sequence init pose columns    [g]
+    pix_ref,        # VMEM (FB, 5, B, S)                                 [g, b]
+    cand_ref,       # VMEM (FB, 3*D, B, S) i32                           [g, b]
+    init_tri_ref,   # VMEM (4, B, S)                                     [g]
+    out_ref,        # VMEM (FB, 8, B, S)
+    tri_scr,        # VMEM (4, B, S) carried triangulation across blocks
+    pose_scr,       # VMEM (12, B, 1) carried poses across blocks
+):
+    """One frame block of one serving group's B-sequence tracking loop.
+
+    The sublane-batched form of :func:`_kernel`: a serving group of B
+    independent sequences rides the SUBLANE axis of every tile, so each
+    per-frame vector op fills B sublanes where the single-sequence kernel
+    fills one (at the flagship S=128 each (S,) row op uses one sublane of
+    one vreg — the serving chip-filling lever is exactly this axis; cf.
+    vo_complete.cpp:150's serial loop, which this whole kernel family
+    replaces). Grid is (G groups, NB frame blocks): groups are
+    independent grid rows, frame blocks execute sequentially with the
+    carried (4, B, S) triangulation + (12, B, 1) pose columns in scratch.
+    Per sequence the arithmetic is identical to :func:`_kernel` (same op
+    order on every lane; gn_loop_batched freezes converged sequences):
+    compiled on TPU, results match the single-sequence fused path BITWISE
+    (verified on an adversarial random-join workload, r5); the CPU
+    interpreter lowers the (B, S) lane reductions through different XLA
+    fusions and re-associates at ~1 ulp/GN round
+    (utils/selfcheck.check_frame_serving tolerances)."""
+    b_blk = pl.program_id(1)
+    s = pix_ref.shape[-1]
+    bsz = pix_ref.shape[-2]
+
+    z_near, z_far = scal_ref[0], scal_ref[1]
+    cols, rows = scal_ref[2], scal_ref[3]
+    kt, keep_out = scal_ref[4], scal_ref[5]
+    damping, tol = scal_ref[6], scal_ref[7]
+    warm = scal_ref[8]
+    min_inl = scal_ref[9]
+    k = tuple(scal_ref[10 + j] for j in range(9))   # K row-major
+    ik = tuple(scal_ref[19 + j] for j in range(9))  # K^-1 row-major
+
+    @pl.when(b_blk == 0)
+    def _():
+        tri_scr[:, :, :] = init_tri_ref[:, :, :]
+        pose_scr[:, :, :] = x0_ref[:, :, :]
+
+    def frame_body(i, carry):
+        tri_rows, *pose = carry                     # (4, B, S), 12 x (B, 1)
+
+        u1, v1 = pix_ref[i, 0], pix_ref[i, 1]       # (B, S)
+        u2, v2 = pix_ref[i, 2], pix_ref[i, 3]
+        cvalid = pix_ref[i, 4]
+
+        # ---- world join (vo_complete.cpp:52-66), B sequences at once ---
+        tx, ty, tz = tri_rows[0], tri_rows[1], tri_rows[2]
+        tok = tri_rows[3]
+        px = pose[0] * tx + pose[1] * ty + pose[2] * tz + pose[3]
+        py = pose[4] * tx + pose[5] * ty + pose[6] * tz + pose[7]
+        pz = pose[8] * tx + pose[9] * ty + pose[10] * tz + pose[11]
+
+        # Chain gathers are per-sequence lane gathers: flatten (4D, B, S)
+        # -> (4D*B, S) rows, every row gathering within its own lanes.
+        rows4 = jnp.stack([px, py, pz, tok])                    # (4, B, S)
+        src = jnp.concatenate([rows4] * depth, axis=0)          # (4D, B, S)
+        lo = jnp.repeat(cand_ref[i, 0:depth], 4, axis=0)        # (4D, B, S)
+        hi = jnp.repeat(cand_ref[i, depth:2 * depth], 4, axis=0)
+        rdim = 4 * depth * bsz
+        g = _lane_gather(
+            src.reshape(rdim, s), lo.reshape(rdim, s), hi.reshape(rdim, s)
+        ).reshape(4 * depth, bsz, s)
+
+        wx, wy, wz = g[0], g[1], g[2]
+        have = (cand_ref[i, 2 * depth] > 0) & (g[3] > 0.5)
+        for d in range(1, depth):
+            ok_d = (cand_ref[i, 2 * depth + d] > 0) & (g[4 * d + 3] > 0.5)
+            take = ok_d & ~have
+            wx = jnp.where(take, g[4 * d + 0], wx)
+            wy = jnp.where(take, g[4 * d + 1], wy)
+            wz = jnp.where(take, g[4 * d + 2], wz)
+            have = have | ok_d
+        weight = have.astype(jnp.float32)
+
+        # ---- PICP Gauss-Newton, B lock-stepped solves ----
+        gwx = jnp.where(have, wx, 1.0)
+        gwy = jnp.where(have, wy, 1.0)
+        gwz = jnp.where(have, wz, 1.0)
+        gmx = jnp.where(have, u2, 0.0)
+        gmy = jnp.where(have, v2, 0.0)
+        eye = (1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0)
+        pose0 = tuple(
+            jnp.where(warm > 0.5, pose[j], eye[j]) for j in range(12)
+        )
+        final = gn_loop_batched(
+            num_iterations, k, pose0, gwx, gwy, gwz, gmx, gmy, weight,
+            z_near, z_far, cols, rows, kt, keep_out, damping, tol, min_inl,
+            min_iterations,
+        )
+        new_pose = final[0:12]                                  # (B, 1) each
+        chi_in, chi_out, n_in = final[13], final[14], final[15]
+
+        # ---- mid-point triangulation (utils.cpp:36-76), (B, S) tiles ----
+        r = (new_pose[0], new_pose[1], new_pose[2],
+             new_pose[4], new_pose[5], new_pose[6],
+             new_pose[8], new_pose[9], new_pose[10])
+        rt = _transpose3(r)
+        t_vec = (new_pose[3], new_pose[7], new_pose[11])
+        it = tuple(-x for x in _mat3vec(rt, t_vec))
+        ir_ik = _mat3mul(rt, ik)
+        d1x = ik[0] * u1 + ik[1] * v1 + ik[2]
+        d1y = ik[3] * u1 + ik[4] * v1 + ik[5]
+        d1z = ik[6] * u1 + ik[7] * v1 + ik[8]
+        d2x = ir_ik[0] * u2 + ir_ik[1] * v2 + ir_ik[2]
+        d2y = ir_ik[3] * u2 + ir_ik[4] * v2 + ir_ik[5]
+        d2z = ir_ik[6] * u2 + ir_ik[7] * v2 + ir_ik[8]
+        a00 = d1x * d1x + d1y * d1y + d1z * d1z
+        a01 = -(d1x * d2x + d1y * d2y + d1z * d2z)
+        a11 = d2x * d2x + d2y * d2y + d2z * d2z
+        b0 = d1x * it[0] + d1y * it[1] + d1z * it[2]
+        b1 = -(d2x * it[0] + d2y * it[1] + d2z * it[2])
+        det = a00 * a11 - a01 * a01
+        safe_det = jnp.where(jnp.abs(det) < _DET_EPS, 1.0, det)
+        s0 = (a11 * b0 - a01 * b1) / safe_det
+        s1 = (a00 * b1 - a01 * b0) / safe_det
+        new_ok = (
+            (cvalid > 0.5) & (s0 >= 0.0) & (s1 >= 0.0)
+            & (jnp.abs(det) >= _DET_EPS)
+        )
+        vx = 0.5 * (s0 * d1x + it[0] + s1 * d2x)
+        vy = 0.5 * (s0 * d1y + it[1] + s1 * d2y)
+        vz = 0.5 * (s0 * d1z + it[2] + s1 * d2z)
+        new_ok = (
+            new_ok
+            & (jnp.abs(vx) < 1e18) & (jnp.abs(vy) < 1e18)
+            & (jnp.abs(vz) < 1e18)
+        )
+        okf = new_ok.astype(jnp.float32)
+        ntx = jnp.where(new_ok, vx, 0.0)
+        nty = jnp.where(new_ok, vy, 0.0)
+        ntz = jnp.where(new_ok, vz, 0.0)
+
+        # ---- emit rows, carry state ----
+        pose_row = jnp.pad(
+            jnp.concatenate(new_pose, axis=1), ((0, 0), (0, s - 12))
+        )                                                       # (B, S)
+        stats_row = jnp.pad(
+            jnp.concatenate(
+                [chi_in, chi_out, n_in,
+                 jnp.sum(weight, axis=-1, keepdims=True)], axis=1
+            ),
+            ((0, 0), (0, s - 4)),
+        )                                                       # (B, S)
+        new_tri_rows = jnp.stack([ntx, nty, ntz, okf])          # (4, B, S)
+        zero = jnp.zeros((2, bsz, s), jnp.float32)
+        out_ref[i] = jnp.concatenate(
+            [pose_row[None], stats_row[None], new_tri_rows, zero]
+        )
+        return (new_tri_rows,) + new_pose
+
+    init = (tri_scr[:, :, :],) + tuple(pose_scr[j] for j in range(12))
+    final = jax.lax.fori_loop(0, block_frames, frame_body, init)
+    tri_scr[:, :, :] = final[0]
+    pose_scr[:, :, :] = jnp.stack(final[1:13])
+
+
+def track_frames_fused_serving(
+    camera_matrix: Array,     # (3, 3) shared camera
+    cam_params: Array,        # (4,) z_near, z_far, cols, rows
+    x_init: Array,            # (N, 4, 4) per-sequence carried pose
+    init_tri: Array,          # (N, S, 3)
+    init_tri_ok: Array,       # (N, S)
+    cand: JoinCandidates,     # (N, F, D, S) per-sequence join chains
+    prev_al: Array,           # (N, F, S, 2)
+    cur_al: Array,            # (N, F, S, 2)
+    corr_valid: Array,        # (N, F, S) bool
+    num_iterations: int,
+    kernel_threshold: Array,
+    damping: Array,
+    tolerance: Array,
+    keep_outliers: bool = False,
+    warm_start: bool = False,
+    interpret: bool = False,
+    min_num_inliers: Array = 0.0,
+    min_iterations: int = 1,
+    inner_batch: int = 8,
+) -> Tuple[Array, Array, Array, Array]:
+    """Track N independent sequences with B of them per kernel sublane tile.
+
+    The serving form of :func:`track_frames_fused` (SE(3), shared camera
+    and solver knobs — the batched-serving contract of parallel/multiseq):
+    sequences are grouped ``inner_batch`` per grid row and ride the sublane
+    axis of every (B, S) tile inside :func:`_kernel_serving`, instead of
+    becoming serial grid rows as vmap-of-the-fused-kernel does. N must be
+    a multiple of ``inner_batch`` (callers pad with dead sequences — a
+    zero-valid sequence costs min_iterations frozen GN rounds per frame).
+
+    Returns the same per-sequence contract as vmapping
+    :func:`track_frames_fused`: poses (N, F, 4, 4), tri (N, F, S, 3),
+    tri_ok (N, F, S), stats (N, F, 4) — bitwise identical results when
+    compiled on TPU (per sequence the kernel arithmetic is the same op
+    sequence; see _kernel_serving / gn_loop_batched docstrings, guarded
+    by utils/selfcheck.check_frame_serving and tests/test_multiseq.py).
+    """
+    n, f, depth, s = cand.lo.shape
+    bsz = int(inner_batch)
+    assert n % bsz == 0, (n, bsz)
+    grp = n // bsz
+
+    def to_gb(x):
+        return x.reshape((grp, bsz) + x.shape[1:])
+
+    pix = jnp.stack(
+        [
+            to_gb(prev_al[..., 0]).transpose(0, 2, 1, 3),
+            to_gb(prev_al[..., 1]).transpose(0, 2, 1, 3),
+            to_gb(cur_al[..., 0]).transpose(0, 2, 1, 3),
+            to_gb(cur_al[..., 1]).transpose(0, 2, 1, 3),
+            to_gb(corr_valid.astype(jnp.float32)).transpose(0, 2, 1, 3),
+        ],
+        axis=2,
+    )                                                     # (G, F, 5, B, S)
+    candm = jnp.concatenate(
+        [
+            to_gb(cand.lo.astype(jnp.int32)).transpose(0, 2, 3, 1, 4),
+            to_gb(cand.hi.astype(jnp.int32)).transpose(0, 2, 3, 1, 4),
+            to_gb(cand.ok.astype(jnp.int32)).transpose(0, 2, 3, 1, 4),
+        ],
+        axis=2,
+    )                                                     # (G, F, 3D, B, S)
+
+    rows_bytes = (5 + 3 * depth + 8) * bsz * s * 4
+    fb = min(f, max(4, (4 * 1024 * 1024) // rows_bytes))
+    nb = -(-f // fb)
+    f_pad = nb * fb
+    if f_pad != f:
+        # Zero-validity padding frames: frozen GN, pass-through carry
+        # (see _run_batched); outputs sliced off below.
+        pix = jnp.pad(pix, ((0, 0), (0, f_pad - f), (0, 0), (0, 0), (0, 0)))
+        candm = jnp.pad(
+            candm, ((0, 0), (0, f_pad - f), (0, 0), (0, 0), (0, 0))
+        )
+
+    scal = jnp.concatenate(
+        [
+            cam_params.astype(jnp.float32),
+            jnp.stack(
+                [
+                    jnp.asarray(kernel_threshold, jnp.float32),
+                    jnp.asarray(1.0 if keep_outliers else 0.0, jnp.float32),
+                    jnp.asarray(damping, jnp.float32),
+                    jnp.asarray(
+                        tolerance, jnp.float32
+                    ),
+                    jnp.asarray(1.0 if warm_start else 0.0, jnp.float32),
+                    jnp.asarray(min_num_inliers, jnp.float32),
+                ]
+            ),
+            camera_matrix.reshape(9).astype(jnp.float32),
+            jnp.linalg.inv(camera_matrix).reshape(9).astype(jnp.float32),
+        ]
+    )                                                     # (28,)
+    x0 = (
+        to_gb(x_init[:, :3, :4].reshape(n, 12))
+        .transpose(0, 2, 1)[..., None]
+        .astype(jnp.float32)
+    )                                                     # (G, 12, B, 1)
+    init_tri_rows = jnp.concatenate(
+        [
+            to_gb(init_tri).transpose(0, 3, 1, 2),
+            to_gb(init_tri_ok.astype(jnp.float32))[:, None],
+        ],
+        axis=1,
+    )                                                     # (G, 4, B, S)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_serving, int(num_iterations), int(min_iterations),
+            depth, fb,
+        ),
+        grid=(grp, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (None, 12, bsz, 1), lambda g, b: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, fb, 5, bsz, s), lambda g, b: (g, b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, fb, 3 * depth, bsz, s), lambda g, b: (g, b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, 4, bsz, s), lambda g, b: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, fb, 8, bsz, s), lambda g, b: (g, b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((grp, f_pad, 8, bsz, s), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((4, bsz, s), jnp.float32),
+            pltpu.VMEM((12, bsz, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(scal, x0, pix, candm, init_tri_rows)
+
+    out = out[:, :f]                                      # (G, F, 8, B, S)
+    pose_rows = (
+        out[:, :, 0, :, :12].transpose(0, 2, 1, 3).reshape(n, f, 3, 4)
+    )
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32).reshape(1, 1, 1, 4),
+        (n, f, 1, 4),
+    )
+    poses = jnp.concatenate([pose_rows, bottom], axis=2)
+    tri = out[:, :, 2:5].transpose(0, 3, 1, 4, 2).reshape(n, f, s, 3)
+    tri_ok = out[:, :, 5].transpose(0, 2, 1, 3).reshape(n, f, s) > 0.5
+    stats = out[:, :, 1, :, :4].transpose(0, 2, 1, 3).reshape(n, f, 4)
+    return poses, tri, tri_ok, stats
 
 
 def track_frames_fused(

@@ -431,6 +431,189 @@ def gn_loop(
     return jax.lax.while_loop(cond, body, init)[1:]
 
 
+def gn_loop_batched(
+    num_iterations, k, pose0, wx, wy, wz, mx, my, wgt_in,
+    z_near, z_far, cols, rows, kt, keep_out, damping, tol, min_inl=0.0,
+    min_iterations=1,
+):
+    """B independent Gauss-Newton solves, lock-stepped on (B, S) tiles.
+
+    The sublane-batched twin of :func:`gn_loop` for the serving path
+    (parallel/multiseq): point rows are (B, S) — B sequences on the
+    sublane axis, S correspondence lanes — and the pose carry is a tuple
+    of 12 (B, 1) columns, so every elementwise op fills B sublanes where
+    the single-sequence loop fills one. Per sequence the arithmetic is
+    IDENTICAL to :func:`gn_loop` (same per-round op order, reductions
+    over the lane axis only), so compiled results match bitwise (the CPU
+    interpreter may re-associate the (30, B, S) reduction at ~1 ulp);
+    the loop runs
+    until every sequence's exit condition fires, with converged sequences
+    frozen: their update is zeroed (the Euler chart of 0 is the identity)
+    and their stats/active flags held, which reproduces each sequence's
+    serial early-exit state exactly.
+
+    ``k`` and the solver knobs are shared scalars (one camera per serving
+    group); ``min_inl`` may be a scalar or (B, 1). Returns the final
+    carry minus the counter: 12 (B, 1) pose entries, active, chi_in,
+    chi_out, n_in (all (B, 1)).
+    """
+
+    def cond(carry):
+        it, *_rest, active, _ci, _co, _ni = carry
+        return (it < num_iterations) & (
+            jnp.any(active > 0.5) | (it < min_iterations)
+        )
+
+    def body(carry):
+        (it, r00, r01, r02, t0, r10, r11, r12, t1, r20, r21, r22, t2,
+         active, chi_in, chi_out, n_in) = carry
+        # Per-sequence "this round counts" mask: the serial loop's cond —
+        # a sequence still iterates while active OR inside the
+        # min_iterations window; afterwards it is frozen (see docstring).
+        run = (active > 0.5) | (it < min_iterations)
+
+        px = r00 * wx + r01 * wy + r02 * wz + t0
+        py = r10 * wx + r11 * wy + r12 * wz + t1
+        pz = r20 * wx + r21 * wy + r22 * wz + t2
+        hx = k[0] * px + k[1] * py + k[2] * pz
+        hy = k[3] * px + k[4] * py + k[5] * pz
+        hz = k[6] * px + k[7] * py + k[8] * pz
+        iz = 1.0 / jnp.where(hz == 0.0, 1.0, hz)
+        u = hx * iz
+        v = hy * iz
+        valid = (
+            (pz <= z_far) & (pz >= z_near) & (hz > 1e-6)
+            & (u >= 0.0) & (u <= cols - 1.0)
+            & (v >= 0.0) & (v <= rows - 1.0)
+        )
+        ex = u - mx
+        ey = v - my
+        chi = ex * ex + ey * ey
+        is_out = chi > kt
+        lam = jnp.where(is_out, jnp.sqrt(kt / jnp.maximum(chi, 1e-30)), 1.0)
+        live = wgt_in * valid.astype(jnp.float32)
+        w = live * jnp.where(is_out, keep_out, 1.0) * lam
+
+        iz2 = iz * iz
+        a00 = k[0] * iz - k[6] * hx * iz2
+        a01 = k[1] * iz - k[7] * hx * iz2
+        a02 = k[2] * iz - k[8] * hx * iz2
+        a10 = k[3] * iz - k[6] * hy * iz2
+        a11 = k[4] * iz - k[7] * hy * iz2
+        a12 = k[5] * iz - k[8] * hy * iz2
+        jx = (
+            a00, a01, a02,
+            a01 * (-pz) + a02 * py, a00 * pz + a02 * (-px), a00 * (-py) + a01 * px,
+        )
+        jy = (
+            a10, a11, a12,
+            a11 * (-pz) + a12 * py, a10 * pz + a12 * (-px), a10 * (-py) + a11 * px,
+        )
+
+        # One stacked (30, B, S) -> (30, B) lane reduction per round (same
+        # row order as gn_loop; per sequence the reduction tree over S is
+        # identical, so the sums match the serial loop bitwise).
+        inl = live * (1.0 - is_out.astype(jnp.float32))
+        rows_l = []
+        for i in range(6):
+            for j in range(i, 6):
+                rows_l.append(w * (jx[i] * jx[j] + jy[i] * jy[j]))
+        for i in range(6):
+            rows_l.append(w * (jx[i] * ex + jy[i] * ey))
+        rows_l.append(chi * inl)
+        rows_l.append(chi * live * is_out.astype(jnp.float32))
+        rows_l.append(inl)
+        sums = jnp.sum(jnp.stack(rows_l), axis=-1)[:, :, None]  # (30, B, 1)
+        hm = {}
+        idx = 0
+        for i in range(6):
+            for j in range(i, 6):
+                hm[(i, j)] = sums[idx]
+                idx += 1
+        bv = tuple(sums[21 + i] for i in range(6))
+        new_chi_in = sums[27]
+        new_chi_out = sums[28]
+        new_n_in = sums[29]
+
+        # Damped, Jacobi-scaled 3x3-block Schur solve — gn_loop's exact
+        # scalar-form code, now on (B, 1) columns (B solves per vector op).
+        md = tuple(hm[(i, i)] + damping for i in range(6))
+        sc = tuple(jax.lax.rsqrt(jnp.maximum(m, 1e-30)) for m in md)
+
+        def se(i, j):
+            return hm[(min(i, j), max(i, j))] * sc[i] * sc[j]
+
+        one = jnp.ones_like(md[0])
+        A = (one, se(0, 1), se(0, 2),
+             se(0, 1), one, se(1, 2),
+             se(0, 2), se(1, 2), one)
+        B = (se(0, 3), se(0, 4), se(0, 5),
+             se(1, 3), se(1, 4), se(1, 5),
+             se(2, 3), se(2, 4), se(2, 5))
+        D = (one, se(3, 4), se(3, 5),
+             se(3, 4), one, se(4, 5),
+             se(3, 5), se(4, 5), one)
+        r1 = (-bv[0] * sc[0], -bv[1] * sc[1], -bv[2] * sc[2])
+        r2 = (-bv[3] * sc[3], -bv[4] * sc[4], -bv[5] * sc[5])
+        Ai = _inv3(A)
+        Bt = _transpose3(B)
+        S = tuple(d - s for d, s in zip(D, _mat3mul(Bt, _mat3mul(Ai, B))))
+        Si = _inv3(S)
+        t_r2 = tuple(x - y for x, y in zip(r2, _mat3vec(Bt, _mat3vec(Ai, r1))))
+        x2 = _mat3vec(Si, t_r2)
+        t_r1 = tuple(x - y for x, y in zip(r1, _mat3vec(B, x2)))
+        x1 = _mat3vec(Ai, t_r1)
+        y = x1 + x2
+        dx = tuple(y[i] * sc[i] for i in range(6))
+        enough = new_n_in >= min_inl
+        # Freeze finished sequences: a zero update leaves their pose
+        # exactly where their serial loop exited.
+        dx = tuple(jnp.where(run & enough, d, 0.0) for d in dx)
+        dx2 = sum(d * d for d in dx)
+
+        sa, ca = jnp.sin(dx[3]), jnp.cos(dx[3])
+        sb, cb = jnp.sin(dx[4]), jnp.cos(dx[4])
+        sc_, cc = jnp.sin(dx[5]), jnp.cos(dx[5])
+        rd = (
+            cb * cc, -cb * sc_, sb,
+            ca * sc_ + sa * sb * cc, ca * cc - sa * sb * sc_, -sa * cb,
+            sa * sc_ - ca * sb * cc, sa * cc + ca * sb * sc_, ca * cb,
+        )
+        r_old = (r00, r01, r02, r10, r11, r12, r20, r21, r22)
+        r_new = _mat3mul(rd, r_old)
+        t_new = tuple(a + b for a, b in zip(_mat3vec(rd, (t0, t1, t2)),
+                                            (dx[0], dx[1], dx[2])))
+
+        keep = run
+
+        def held(new, old):
+            return jnp.where(keep, new, old)
+
+        out = (
+            it + 1,
+            held(r_new[0], r00), held(r_new[1], r01), held(r_new[2], r02),
+            held(t_new[0], t0),
+            held(r_new[3], r10), held(r_new[4], r11), held(r_new[5], r12),
+            held(t_new[1], t1),
+            held(r_new[6], r20), held(r_new[7], r21), held(r_new[8], r22),
+            held(t_new[2], t2),
+            held((enough & (dx2 > tol)).astype(jnp.float32), active),
+            held(new_chi_in, chi_in),
+            held(new_chi_out, chi_out),
+            held(new_n_in, n_in),
+        )
+        return out
+
+    b = wx.shape[0]
+    ones = jnp.ones((b, 1), jnp.float32)
+    init = (
+        (jnp.int32(0),)
+        + pose0
+        + (ones, 0.0 * ones, 0.0 * ones, 0.0 * ones)
+    )
+    return jax.lax.while_loop(cond, body, init)[1:]
+
+
 def gn_loop_se2(
     num_iterations, k, c, c_inv, pose0, wx, wy, wz, mx, my, wgt_in,
     z_near, z_far, cols, rows, kt, keep_out, damping, tol, min_inl=0.0,

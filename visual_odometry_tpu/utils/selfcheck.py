@@ -278,6 +278,74 @@ def check_matcher_fast(interpret: bool = False, seed: int = 6) -> Dict[str, floa
     }
 
 
+def check_frame_serving(interpret: bool = False, seed: int = 7) -> Dict[str, float]:
+    """Sublane-batched serving tracker vs the single-sequence fused path.
+
+    The serving kernel's claim (ops/pallas/frame_kernel._kernel_serving,
+    picp_kernel.gn_loop_batched) is that lock-stepping B sequences on the
+    sublane axis changes tile LAYOUT, not arithmetic: per sequence every
+    op runs in the same order on the same lanes, converged sequences are
+    frozen exactly where their serial loop exited. Verified end to end
+    (bootstrap + batched matching + serving kernel + map fold) against
+    ``pipeline.run_sequence`` on the fused backend, per sequence."""
+    from ..parallel import multiseq
+
+    n_slots, frames, b = 64, 10, 4
+    seqs = [
+        synthetic.generate_tracking_sequence(
+            np.random.default_rng(seed + i), frames, n_slots
+        )
+        for i in range(b)
+    ]
+    pts = np.stack([s[0] for s in seqs])
+    apps = np.stack([s[1] for s in seqs])
+    masks = np.stack([s[2] for s in seqs])
+    camera = synthetic.deep_camera()
+    fused_backend = "fused_interpret" if interpret else "fused"
+    cfg = VOConfig(
+        n_slots=n_slots, map_capacity=256, gn_iterations=30,
+        scan_backend=fused_backend,
+    )
+    traj_b, maps_b, _ = multiseq.run_sequences_batched(
+        camera, cfg, jnp.asarray(pts), jnp.asarray(apps), jnp.asarray(masks),
+        backend="sublane", inner_batch=2, interpret=interpret,
+    )
+    # Apples-to-apples reference: the vmap form shares the serving path's
+    # batched bootstrap bit-for-bit (vmapped eigh differs from single-pair
+    # eigh at ~1e-6, which 30 GN rounds amplify to ~1e-3 — a property of
+    # XLA's batched eigendecomposition, not of either frame loop), so the
+    # only difference left is grid-row vs sublane frame tracking. Compiled
+    # on TPU the two are BITWISE equal (verified r5 on an adversarial
+    # random-join workload); the CPU interpreter lowers the (30, B, S)
+    # lane reductions through different XLA fusions than (30, S) and
+    # re-associates at ~1 ulp per GN round, so interpret mode gets the
+    # fused-vs-scan style tolerance instead.
+    traj_v, maps_v, _ = multiseq.run_sequences_batched(
+        camera, cfg, jnp.asarray(pts), jnp.asarray(apps), jnp.asarray(masks),
+        backend="vmap",
+    )
+    worst = float(np.abs(np.asarray(traj_b) - np.asarray(traj_v)).max())
+    assert worst < (5e-3 if interpret else 1e-6), worst
+    for i in range(b):
+        n_ref = int(np.asarray(maps_v.valid)[i].sum())
+        n_got = int(np.asarray(maps_b.valid)[i].sum())
+        assert n_ref == n_got, (i, n_ref, n_got)
+    # And against the per-sequence serial product path at the
+    # bootstrap-sensitivity tolerance.
+    worst_serial = 0.0
+    for i in range(b):
+        traj, _, _ = pipeline.run_sequence(
+            camera, cfg, jnp.asarray(pts[i]), jnp.asarray(apps[i]),
+            jnp.asarray(masks[i]),
+        )
+        worst_serial = max(
+            worst_serial,
+            float(np.abs(np.asarray(traj) - np.asarray(traj_b)[i]).max()),
+        )
+    assert worst_serial < 5e-3, worst_serial
+    return {"serving_traj_diff": worst, "serving_vs_serial": worst_serial}
+
+
 def check_pair_matcher(interpret: bool = False, seed: int = 3) -> Dict[str, float]:
     """Batched pair-matcher kernel vs the vmapped dense matcher: identical
     validity, indices and kd-side selection (compiled unless ``interpret``)."""
@@ -319,6 +387,7 @@ def run_all(interpret: bool | None = None) -> Dict[str, float]:
     out.update(check_picp_se2_solver(interpret))
     out.update(check_frame_pipeline(interpret))
     out.update(check_frame_pipeline_planar(interpret))
+    out.update(check_frame_serving(interpret))
     out.update(check_matcher(interpret))
     out.update(check_matcher_fast(interpret))
     out.update(check_pair_matcher(interpret))
