@@ -74,6 +74,31 @@ def test_serving_sublane_equals_vmap(small_batch):
     assert outs_s.pose.shape[0] == 2
 
 
+def test_serving_sublane_planar_equals_vmap(small_batch):
+    """est_SE2 serving: the planar sublane kernel (gn_loop_se2_batched)
+    vs the vmapped planar fused path on real data."""
+    camera, pts, apps, mask = small_batch
+    cfg = VOConfig(
+        gn_iterations=20, scan_backend="fused_interpret", planar=True,
+    )
+    traj_s, maps_s, _ = multiseq.run_sequences_batched(
+        camera, cfg, jnp.asarray(pts), jnp.asarray(apps), jnp.asarray(mask),
+        backend="sublane", inner_batch=2, interpret=True,
+    )
+    traj_v, maps_v, _ = multiseq.run_sequences_batched(
+        camera, cfg, jnp.asarray(pts), jnp.asarray(apps), jnp.asarray(mask),
+        backend="vmap",
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_s)[:, :, :3, 3], np.asarray(traj_v)[:, :, :3, 3],
+        atol=2e-3,
+    )
+    for b in range(2):
+        assert int(np.asarray(maps_s.valid)[b].sum()) == int(
+            np.asarray(maps_v.valid)[b].sum()
+        )
+
+
 def test_serving_inner_divisor():
     assert multiseq._serving_inner(32, 8) == 8
     assert multiseq._serving_inner(12, 8) == 6

@@ -67,6 +67,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .picp_kernel import (
     _mat3mul, _mat3vec, _transpose3, gn_loop, gn_loop_batched, gn_loop_se2,
+    gn_loop_se2_batched,
 )
 
 Array = jnp.ndarray
@@ -600,7 +601,9 @@ def _kernel_serving(
     min_iterations,
     depth,
     block_frames,
-    scal_ref,       # SMEM (28,): cam params + knobs + K + iK (shared)
+    planar,
+    scal_ref,       # SMEM (28 | 52): cam params + knobs + K + iK (shared;
+                    #   + mount [R|t] and its inverse when planar)
     x0_ref,         # VMEM (12, B, 1): per-sequence init pose columns    [g]
     pix_ref,        # VMEM (FB, 5, B, S)                                 [g, b]
     cand_ref,       # VMEM (FB, 3*D, B, S) i32                           [g, b]
@@ -639,6 +642,9 @@ def _kernel_serving(
     min_inl = scal_ref[9]
     k = tuple(scal_ref[10 + j] for j in range(9))   # K row-major
     ik = tuple(scal_ref[19 + j] for j in range(9))  # K^-1 row-major
+    if planar:
+        cmnt = tuple(scal_ref[28 + j] for j in range(12))
+        cmnt_inv = tuple(scal_ref[40 + j] for j in range(12))
 
     @pl.when(b_blk == 0)
     def _():
@@ -691,11 +697,19 @@ def _kernel_serving(
         pose0 = tuple(
             jnp.where(warm > 0.5, pose[j], eye[j]) for j in range(12)
         )
-        final = gn_loop_batched(
-            num_iterations, k, pose0, gwx, gwy, gwz, gmx, gmy, weight,
-            z_near, z_far, cols, rows, kt, keep_out, damping, tol, min_inl,
-            min_iterations,
-        )
+        if planar:
+            final = gn_loop_se2_batched(
+                num_iterations, k, cmnt, cmnt_inv, pose0,
+                gwx, gwy, gwz, gmx, gmy, weight,
+                z_near, z_far, cols, rows, kt, keep_out, damping, tol,
+                min_inl, min_iterations,
+            )
+        else:
+            final = gn_loop_batched(
+                num_iterations, k, pose0, gwx, gwy, gwz, gmx, gmy, weight,
+                z_near, z_far, cols, rows, kt, keep_out, damping, tol,
+                min_inl, min_iterations,
+            )
         new_pose = final[0:12]                                  # (B, 1) each
         chi_in, chi_out, n_in = final[13], final[14], final[15]
 
@@ -783,6 +797,8 @@ def track_frames_fused_serving(
     min_num_inliers: Array = 0.0,
     min_iterations: int = 1,
     inner_batch: int = 8,
+    planar: bool = False,
+    cam_in_robot: "Array | None" = None,
 ) -> Tuple[Array, Array, Array, Array]:
     """Track N independent sequences with B of them per kernel sublane tile.
 
@@ -840,25 +856,31 @@ def track_frames_fused_serving(
             candm, ((0, 0), (0, f_pad - f), (0, 0), (0, 0), (0, 0))
         )
 
-    scal = jnp.concatenate(
-        [
-            cam_params.astype(jnp.float32),
-            jnp.stack(
-                [
-                    jnp.asarray(kernel_threshold, jnp.float32),
-                    jnp.asarray(1.0 if keep_outliers else 0.0, jnp.float32),
-                    jnp.asarray(damping, jnp.float32),
-                    jnp.asarray(
-                        tolerance, jnp.float32
-                    ),
-                    jnp.asarray(1.0 if warm_start else 0.0, jnp.float32),
-                    jnp.asarray(min_num_inliers, jnp.float32),
-                ]
-            ),
-            camera_matrix.reshape(9).astype(jnp.float32),
-            jnp.linalg.inv(camera_matrix).reshape(9).astype(jnp.float32),
-        ]
-    )                                                     # (28,)
+    scal_rows = [
+        cam_params.astype(jnp.float32),
+        jnp.stack(
+            [
+                jnp.asarray(kernel_threshold, jnp.float32),
+                jnp.asarray(1.0 if keep_outliers else 0.0, jnp.float32),
+                jnp.asarray(damping, jnp.float32),
+                jnp.asarray(tolerance, jnp.float32),
+                jnp.asarray(1.0 if warm_start else 0.0, jnp.float32),
+                jnp.asarray(min_num_inliers, jnp.float32),
+            ]
+        ),
+        camera_matrix.reshape(9).astype(jnp.float32),
+        jnp.linalg.inv(camera_matrix).reshape(9).astype(jnp.float32),
+    ]
+    if planar:
+        from ...ops import se3
+
+        m44 = (
+            jnp.eye(4, dtype=jnp.float32) if cam_in_robot is None
+            else jnp.asarray(cam_in_robot, jnp.float32)
+        )
+        scal_rows.append(m44[:3, :4].reshape(12))
+        scal_rows.append(se3.inverse(m44)[:3, :4].reshape(12))
+    scal = jnp.concatenate(scal_rows)                     # (28 | 52,)
     x0 = (
         to_gb(x_init[:, :3, :4].reshape(n, 12))
         .transpose(0, 2, 1)[..., None]
@@ -875,7 +897,7 @@ def track_frames_fused_serving(
     out = pl.pallas_call(
         functools.partial(
             _kernel_serving, int(num_iterations), int(min_iterations),
-            depth, fb,
+            depth, fb, bool(planar),
         ),
         grid=(grp, nb),
         in_specs=[

@@ -773,6 +773,166 @@ def gn_loop_se2(
     return jax.lax.while_loop(cond, body, init)[1:]
 
 
+def gn_loop_se2_batched(
+    num_iterations, k, c, c_inv, pose0, wx, wy, wz, mx, my, wgt_in,
+    z_near, z_far, cols, rows, kt, keep_out, damping, tol, min_inl=0.0,
+    min_iterations=1,
+):
+    """B lock-stepped conjugated-SE(2) solves on (B, S) tiles.
+
+    The sublane-batched twin of :func:`gn_loop_se2`, with the same
+    batching rules as :func:`gn_loop_batched` (pose carry as 12 (B, 1)
+    columns, per-sequence freeze masking, lane-axis-only reductions —
+    compiled results match the serial loop bitwise per sequence). The
+    mount ``c``/``c_inv`` and camera are shared scalars: one serving
+    group = one rig."""
+    cr0 = (c[0], c[1], c[2])
+    cr1 = (c[4], c[5], c[6])
+
+    def cond(carry):
+        it, *_rest, active, _ci, _co, _ni = carry
+        return (it < num_iterations) & (
+            jnp.any(active > 0.5) | (it < min_iterations)
+        )
+
+    def body(carry):
+        (it, r00, r01, r02, t0, r10, r11, r12, t1, r20, r21, r22, t2,
+         active, chi_in, chi_out, n_in) = carry
+        run = (active > 0.5) | (it < min_iterations)
+
+        px = r00 * wx + r01 * wy + r02 * wz + t0
+        py = r10 * wx + r11 * wy + r12 * wz + t1
+        pz = r20 * wx + r21 * wy + r22 * wz + t2
+        hx = k[0] * px + k[1] * py + k[2] * pz
+        hy = k[3] * px + k[4] * py + k[5] * pz
+        hz = k[6] * px + k[7] * py + k[8] * pz
+        iz = 1.0 / jnp.where(hz == 0.0, 1.0, hz)
+        u = hx * iz
+        v = hy * iz
+        valid = (
+            (pz <= z_far) & (pz >= z_near) & (hz > 1e-6)
+            & (u >= 0.0) & (u <= cols - 1.0)
+            & (v >= 0.0) & (v <= rows - 1.0)
+        )
+        ex = u - mx
+        ey = v - my
+        chi = ex * ex + ey * ey
+        is_out = chi > kt
+        lam = jnp.where(is_out, jnp.sqrt(kt / jnp.maximum(chi, 1e-30)), 1.0)
+        live = wgt_in * valid.astype(jnp.float32)
+        w = live * jnp.where(is_out, keep_out, 1.0) * lam
+
+        iz2 = iz * iz
+        a00 = k[0] * iz - k[6] * hx * iz2
+        a01 = k[1] * iz - k[7] * hx * iz2
+        a02 = k[2] * iz - k[8] * hx * iz2
+        a10 = k[3] * iz - k[6] * hy * iz2
+        a11 = k[4] * iz - k[7] * hy * iz2
+        a12 = k[5] * iz - k[8] * hy * iz2
+
+        qx = c[0] * px + c[1] * py + c[2] * pz + c[3]
+        qy = c[4] * px + c[5] * py + c[6] * pz + c[7]
+        ctx = tuple(qx * b - qy * a for a, b in zip(cr0, cr1))
+        jx = (
+            a00 * cr0[0] + a01 * cr0[1] + a02 * cr0[2],
+            a00 * cr1[0] + a01 * cr1[1] + a02 * cr1[2],
+            a00 * ctx[0] + a01 * ctx[1] + a02 * ctx[2],
+        )
+        jy = (
+            a10 * cr0[0] + a11 * cr0[1] + a12 * cr0[2],
+            a10 * cr1[0] + a11 * cr1[1] + a12 * cr1[2],
+            a10 * ctx[0] + a11 * ctx[1] + a12 * ctx[2],
+        )
+
+        inl = live * (1.0 - is_out.astype(jnp.float32))
+        rows_l = []
+        for i in range(3):
+            for j in range(i, 3):
+                rows_l.append(w * (jx[i] * jx[j] + jy[i] * jy[j]))
+        for i in range(3):
+            rows_l.append(w * (jx[i] * ex + jy[i] * ey))
+        rows_l.append(chi * inl)
+        rows_l.append(chi * live * is_out.astype(jnp.float32))
+        rows_l.append(inl)
+        sums = jnp.sum(jnp.stack(rows_l), axis=-1)[:, :, None]  # (12, B, 1)
+        hm = {}
+        idx = 0
+        for i in range(3):
+            for j in range(i, 3):
+                hm[(i, j)] = sums[idx]
+                idx += 1
+        bv = tuple(sums[6 + i] for i in range(3))
+        new_chi_in = sums[9]
+        new_chi_out = sums[10]
+        new_n_in = sums[11]
+
+        md = tuple(hm[(i, i)] + damping for i in range(3))
+        sc = tuple(jax.lax.rsqrt(jnp.maximum(m, 1e-30)) for m in md)
+
+        def se(i, j):
+            return hm[(min(i, j), max(i, j))] * sc[i] * sc[j]
+
+        one = jnp.ones_like(md[0])
+        A = (one, se(0, 1), se(0, 2),
+             se(0, 1), one, se(1, 2),
+             se(0, 2), se(1, 2), one)
+        Ai = _inv3(A)
+        r1 = (-bv[0] * sc[0], -bv[1] * sc[1], -bv[2] * sc[2])
+        y = _mat3vec(Ai, r1)
+        dx = tuple(y[i] * sc[i] for i in range(3))
+        enough = new_n_in >= min_inl
+        dx = tuple(jnp.where(run & enough, d, 0.0) for d in dx)
+        dx2 = sum(d * d for d in dx)
+
+        sth, cth = jnp.sin(dx[2]), jnp.cos(dx[2])
+        tr = (cth, -sth, 0.0 * cth, sth, cth, 0.0 * cth,
+              0.0 * cth, 0.0 * cth, 1.0 + 0.0 * cth)
+        c_r = (c[0], c[1], c[2], c[4], c[5], c[6], c[8], c[9], c[10])
+        ci_r = (c_inv[0], c_inv[1], c_inv[2], c_inv[4], c_inv[5], c_inv[6],
+                c_inv[8], c_inv[9], c_inv[10])
+        c_t = (c[3], c[7], c[11])
+        ci_t = (c_inv[3], c_inv[7], c_inv[11])
+        incr_r = _mat3mul(ci_r, _mat3mul(tr, c_r))
+        trc = _mat3vec(tr, c_t)
+        trc = (trc[0] + dx[0], trc[1] + dx[1], trc[2])
+        incr_t = tuple(a + b for a, b in zip(_mat3vec(ci_r, trc), ci_t))
+
+        r_old = (r00, r01, r02, r10, r11, r12, r20, r21, r22)
+        r_new = _mat3mul(incr_r, r_old)
+        t_new = tuple(
+            a + b for a, b in zip(_mat3vec(incr_r, (t0, t1, t2)), incr_t)
+        )
+
+        keep = run
+
+        def held(new, old):
+            return jnp.where(keep, new, old)
+
+        out = (
+            it + 1,
+            held(r_new[0], r00), held(r_new[1], r01), held(r_new[2], r02),
+            held(t_new[0], t0),
+            held(r_new[3], r10), held(r_new[4], r11), held(r_new[5], r12),
+            held(t_new[1], t1),
+            held(r_new[6], r20), held(r_new[7], r21), held(r_new[8], r22),
+            held(t_new[2], t2),
+            held((enough & (dx2 > tol)).astype(jnp.float32), active),
+            held(new_chi_in, chi_in),
+            held(new_chi_out, chi_out),
+            held(new_n_in, n_in),
+        )
+        return out
+
+    b = wx.shape[0]
+    ones = jnp.ones((b, 1), jnp.float32)
+    init = (
+        (jnp.int32(0),)
+        + pose0
+        + (ones, 0.0 * ones, 0.0 * ones, 0.0 * ones)
+    )
+    return jax.lax.while_loop(cond, body, init)[1:]
+
+
 def _solve_kernel(num_iterations, min_iterations, scal_ref, world_ref, meas_ref, w_ref, out_ref):
     z_near, z_far, cols, rows = scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3]
     kt, keep_out, damping, tol = scal_ref[4], scal_ref[5], scal_ref[6], scal_ref[7]

@@ -166,6 +166,8 @@ def _run_serving(
             interpret=interpret,
             min_iterations=config.gn_min_iterations,
             inner_batch=inner_batch,
+            planar=config.planar,
+            cam_in_robot=config.planar_mount(),
         )
     )
     tri_apps_all = jnp.stack(
@@ -254,8 +256,9 @@ def run_sequences_batched(
     ``backend`` picks the batching form (module docstring): "sublane"
     lock-steps ``inner_batch`` sequences per tile in the serving frame
     kernel, "vmap" vmaps the whole single-sequence program, "auto" picks
-    sublane on a single TPU device when the fused path would run (SE(3),
-    learned DA) and vmap otherwise. With ``mesh`` the batch axis is
+    sublane on a single TPU device when the fused path would run (both
+    the SE(3) and planar est_SE2 solvers, learned DA) and vmap
+    otherwise. With ``mesh`` the batch axis is
     sharded over ``dp_axis`` (B must divide the axis size) and the vmap
     form is used per shard. ``validate`` runs the fused world-join
     exactness guard on the result (pipeline.check_join_overflow — a scalar
@@ -269,7 +272,6 @@ def run_sequences_batched(
             and not interpret
             and jax.default_backend() == "tpu"
             and pipeline._resolve_scan_backend(config) == "fused"
-            and not config.planar
         )
         backend = "sublane" if use_sublane else "vmap"
     if backend == "sublane":
