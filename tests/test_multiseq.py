@@ -106,6 +106,31 @@ def test_serving_inner_divisor():
     assert multiseq._serving_inner(5, 4) == 1
 
 
+def test_serving_sublane_sharded_over_dp_mesh(small_batch):
+    """Multi-chip serving: shard_map of the sublane path over dp vs the
+    unsharded sublane path (interpret kernels on the virtual CPU mesh)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    camera, pts, apps, mask = small_batch
+    cfg = VOConfig(gn_iterations=20, scan_backend="fused_interpret")
+    mesh = make_mesh(2, ("dp", "lm"), dp_size=2)
+    traj_m, maps_m, _ = multiseq.run_sequences_batched(
+        camera, cfg, jnp.asarray(pts), jnp.asarray(apps), jnp.asarray(mask),
+        backend="sublane", mesh=mesh, inner_batch=2, interpret=True,
+    )
+    traj_1, maps_1, _ = multiseq.run_sequences_batched(
+        camera, cfg, jnp.asarray(pts), jnp.asarray(apps), jnp.asarray(mask),
+        backend="sublane", inner_batch=1, interpret=True,
+    )
+    # One sequence per device shard vs both in one sublane group: the
+    # fused-kernel math is identical per sequence; interpret-mode
+    # reduction fusion differs (selfcheck.check_frame_serving).
+    np.testing.assert_allclose(
+        np.asarray(traj_m)[:, :, :3, 3], np.asarray(traj_1)[:, :, :3, 3],
+        atol=2e-3,
+    )
+
+
 def test_sharded_over_dp_mesh(small_batch):
     if len(jax.devices()) < 2:
         pytest.skip("needs multiple devices")

@@ -275,10 +275,47 @@ def run_sequences_batched(
         )
         backend = "sublane" if use_sublane else "vmap"
     if backend == "sublane":
-        out = _run_serving(
-            camera, config, points, appearances, masks,
-            inner_batch=_serving_inner(b, inner_batch), interpret=interpret,
-        )
+        if mesh is not None:
+            # Multi-chip serving: shard the sequence batch over dp with
+            # shard_map, each device running the sublane kernel on its
+            # local shard (sequences are independent — zero collectives).
+            # shard_map, not sharded-jit: the Pallas serving kernel needs
+            # per-device LOCAL arrays, not partitioned global operands.
+            n_dev = mesh.shape[dp_axis]
+            assert b % n_dev == 0, (b, n_dev)
+            local_b = b // n_dev
+            inner = _serving_inner(local_b, inner_batch)
+            spec = P(dp_axis)
+
+            @jax.jit
+            def sharded(p, a, m):
+                return jax.shard_map(
+                    lambda pp, aa, mm: _run_serving(
+                        camera, config, pp, aa, mm,
+                        inner_batch=inner, interpret=interpret,
+                    ),
+                    mesh=mesh,
+                    in_specs=(spec, spec, spec),
+                    out_specs=spec,
+                    # Pallas calls don't annotate varying-mesh-axes on
+                    # their out_shapes; per-shard independence is the
+                    # whole design here (no collectives), so the check
+                    # buys nothing.
+                    check_vma=False,
+                )(p, a, m)
+
+            ns = NamedSharding(mesh, spec)
+            out = sharded(
+                jax.device_put(points, ns),
+                jax.device_put(appearances, ns),
+                jax.device_put(masks, ns),
+            )
+        else:
+            out = _run_serving(
+                camera, config, points, appearances, masks,
+                inner_batch=_serving_inner(b, inner_batch),
+                interpret=interpret,
+            )
         if validate:
             pipeline.check_join_overflow(out[2])
         return out
