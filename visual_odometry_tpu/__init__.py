@@ -25,12 +25,28 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: the scan-over-frames pipeline is a large
 # program (minutes to compile through a remote-compile tunnel) that changes
 # rarely; caching makes every fresh process after the first start in
-# seconds.
+# seconds. The directory is suffixed with a host key (jax version + machine
+# + CPU feature flags): XLA:CPU serializes AOT executables specialized to
+# the compiling host's ISA extensions, and the upstream cache key does NOT
+# include them — loading an entry produced on a different host SIGSEGVs in
+# cache deserialization (observed: a cache carried across hosts crashed
+# pytest mid-suite with "+prefer-no-gather is not supported on the host
+# machine" AOT warnings preceding the fault).
+import hashlib as _hashlib  # noqa: E402
 import os as _os  # noqa: E402
+import platform as _platform  # noqa: E402
 
-_cache_dir = _os.environ.get(
-    "VO_TPU_JAX_CACHE", _os.path.expanduser("~/.cache/vo_tpu_jax")
-)
+_cache_dir = _os.environ.get("VO_TPU_JAX_CACHE")
+if _cache_dir is None:
+    try:
+        with open("/proc/cpuinfo") as _f:
+            _flags = next((l for l in _f if l.startswith("flags")), "")
+    except OSError:
+        _flags = ""
+    _host_key = _hashlib.sha256(
+        (_jax.__version__ + _platform.machine() + _flags).encode()
+    ).hexdigest()[:10]
+    _cache_dir = _os.path.expanduser(f"~/.cache/vo_tpu_jax-{_host_key}")
 try:
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
