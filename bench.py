@@ -50,7 +50,7 @@ reference baselines — a fast-but-wrong kernel zeroes the headline.
 Extra published numbers: per-kernel MFU/roofline fields
 (utils/roofline.measure), the sparse-BA production-scale roofline fields
 (utils/roofline.measure_sparse_ba; disable with VO_BENCH_SPARSE=0), and
-the batched multi-sequence SERVING throughput at b=32 — the chip-filling
+the batched multi-sequence SERVING throughput at b=64 — the chip-filling
 number for the latency-bound flagship (disable with VO_BENCH_SERVING=0).
 """
 
@@ -66,7 +66,7 @@ DATA_DIR = os.environ.get("VO_BENCH_DATA", "/root/reference/example_data/data")
 N_PROCESSES = int(os.environ.get("VO_BENCH_PROCESSES", "3"))
 ROUNDS = 5
 REPS = 30  # queue depth per round (see docstring)
-SERVING_BATCH = 32
+SERVING_BATCH = 64  # sublane serving saturates here (r5 sweep: 150k/192k/194k at b=32/64/128)
 
 
 def _measure(full: bool) -> int:

@@ -3,12 +3,15 @@
 The flagship tracking program is latency-bound by design (one sequence's
 frame loop is serial; BENCH_r04 measured it at ~3% of roofline), so the
 chip-filling axis is BATCH parallelism over independent sequences
-(parallel/multiseq): the fused frame kernel's custom_vmap folds the batch
-into its grid (ops/pallas/frame_kernel._fused_fn), every other stage
-batches its tensors, and throughput scales until the VPU/MXU saturate.
-This bench sweeps the batch size and reports frames/s per point plus the
-serving utilization against utils/roofline.pipeline_floor_s (the additive
-per-stage speed-of-light of B independent sequences).
+(parallel/multiseq). Since r5 the serving path lock-steps groups of
+sequences on the SUBLANE axis of the fused frame kernel
+(frame_kernel.track_frames_fused_serving) instead of folding them into
+serial grid rows, and every surrounding stage batches into one kernel;
+measured sweep on v5e: 150k/192k/194k frames/s at b=32/64/128 (the vmap
+grid-row form saturated at ~103k). This bench sweeps the batch size and
+reports frames/s per point plus the serving utilization against
+utils/roofline.pipeline_floor_s (the additive per-stage speed-of-light
+of B independent sequences).
 
 Prints one JSON line per measurement.
 """
@@ -72,7 +75,7 @@ def main(small: bool = False) -> None:
     }))
     floor1 = roofline.pipeline_floor_s(f_total, 128)
     best_row = None
-    for b in ([2] if small else [4, 16, 32, 64]):
+    for b in ([2] if small else [4, 16, 32, 64, 128]):
         # Distinct per-sequence noise so no cross-sequence redundancy can
         # be exploited (it isn't, but the measurement shouldn't rely on it).
         rng = np.random.default_rng(b)
