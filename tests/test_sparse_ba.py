@@ -6,6 +6,7 @@ at an observation multiplicity the dense path cannot represent densely,
 lm-sharded == single-device, and the gauge clamp.
 """
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -146,6 +147,18 @@ def test_duplicate_observations_supported(rng):
     np.testing.assert_allclose(np.asarray(refined.poses), gt_poses, atol=2e-3)
 
 
+# Runs in a FRESH interpreter via the _fresh_process wrapper below when
+# collected as part of a long suite: compiling the 8-device sharded
+# sparse-BA program after ~30 min of accumulated XLA:CPU compilations in
+# one process segfaults inside backend_compile_and_load (observed
+# repeatedly at exactly this test in full-suite runs on a 2-vCPU host;
+# it passes every time in isolation) — a state-dependent XLA:CPU compiler
+# issue, not a framework one. The inner test stays directly runnable with
+# VO_SUBPROC_TEST=1.
+@pytest.mark.skipif(
+    os.environ.get("VO_SUBPROC_TEST") != "1",
+    reason="executed via test_sharded_matches_single_device_fresh_process",
+)
 @pytest.mark.parametrize("n_lm", [4, 8])
 def test_sharded_matches_single_device(rng, n_lm):
     if len(jax.devices()) < n_lm:
@@ -185,6 +198,23 @@ def test_sharded_matches_single_device(rng, n_lm):
     np.testing.assert_allclose(
         np.asarray(single.landmarks), np.asarray(out.landmarks)[:64], atol=5e-4
     )
+
+
+def test_sharded_matches_single_device_fresh_process():
+    """Run the sharded-vs-single equality test in a fresh interpreter
+    (see the skipif note on the inner test)."""
+    import subprocess
+    import sys
+
+    env = {**os.environ, "VO_SUBPROC_TEST": "1"}
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "pytest", "-q", "-x",
+            f"{__file__}::test_sharded_matches_single_device",
+        ],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-1000:])
 
 
 def test_coo_join_matches_dense_join(rng):

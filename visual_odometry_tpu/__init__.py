@@ -9,7 +9,7 @@ reference lacks: fully-jitted scan-over-frames pipelines, Pallas kernels for
 the hot ops, and sharded multi-chip matching / bundle adjustment.
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 import jax as _jax
 
