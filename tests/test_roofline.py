@@ -38,3 +38,22 @@ def test_gn_model_is_vpu_bound():
     p = roofline.picp_model(1024, 100)
     assert p.vpu_ops / chip.vpu_ops > p.hbm_bytes / chip.hbm_bw
     assert p.mxu_flops == 0.0
+
+
+def test_chained_timing_helpers():
+    """dispatch_overhead_s and the chained amortizer run on any backend and
+    the chain really executes its steps (the eps carry threads through)."""
+    import jax.numpy as jnp
+
+    t_call = roofline.dispatch_overhead_s(reps=3, rounds=1)
+    assert 0.0 < t_call < 10.0
+
+    calls = []
+
+    def step(eps):
+        calls.append(1)  # trace-time only: the scan traces the body once
+        return jnp.ones((8, 128), jnp.float32) * (1.0 + eps)
+
+    t = roofline._steady_state_chained_s(step, g=4, reps=2, rounds=1)
+    assert 0.0 < t < 10.0
+    assert len(calls) == 1  # one trace, g executions inside one program
