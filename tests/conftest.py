@@ -24,6 +24,23 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound the live-executable population of a long suite run.
+
+    A full suite compiles many hundreds of 8-virtual-device XLA:CPU
+    programs into one process; ~30 minutes in, the NEXT large compile
+    sporadically segfaults inside backend_compile_and_load (observed at
+    whatever test happens to compile around the 85% mark — moving the
+    suspect test to a subprocess just moved the crash to its neighbour).
+    Each live executable holds thunk-runtime/thread resources; dropping
+    the jit caches between modules keeps the accumulation bounded.
+    Per-module, not per-test: module-scoped fixtures reuse compiled
+    programs within a file, and recompiles across files are rare."""
+    yield
+    jax.clear_caches()
+
+
 REFERENCE_DATA = "/root/reference/example_data/data"
 
 
