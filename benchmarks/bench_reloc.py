@@ -90,16 +90,27 @@ def measure_one(cap: int, backend: str, reps: int) -> None:
         sync(rs)
         best = min(best, (time.perf_counter() - t0) / reps)
 
+    # Amortized: 8 queries chained inside one dispatched program — the
+    # fixed ~0.9-1.2 ms per-dispatch tunnel cost (dominant at the smaller
+    # map sizes) divides out; a production relocalization service queries
+    # in exactly this regime (see utils/roofline._steady_state_chained_s).
+    def step(eps):
+        f2 = frame._replace(points=frame.points + eps)
+        return pipeline.relocalize_frame(camera, cfg, map_state, f2, x0)
+
+    chained = roofline._steady_state_chained_s(step, g=8, reps=4, rounds=2)
+
     chip = roofline.V5E_BF16 if fast else roofline.V5E
     floor = roofline.matcher_model(s, cap).speed_of_light_s(chip)
     row = {
         "metric": f"reloc_cap{cap}_{backend}",
-        "value": round(1.0 / best, 1),
+        "value": round(1.0 / chained, 1),
         "unit": "queries/s",
         "ms": round(best * 1e3, 3),
+        "ms_chained": round(chained * 1e3, 3),
         "floor_ms": round(floor * 1e3, 3),
     }
-    if best < floor:
+    if chained < floor:
         row["suspect"] = True  # beats physics => broken measurement
     print(json.dumps(row))
 
